@@ -27,14 +27,15 @@ import jax.numpy as jnp
 
 from ..core.projection import Projected
 
-TILE = 16  # pixels per tile side, matching the reference's 16x16 tiles
+TILE = 16   # pixels per tile side, matching the reference's 16x16 tiles
+CHUNK = 128  # instance-segment alignment = Pallas chunk size (TPU lane width)
 
 
 class TileBins(NamedTuple):
-    gauss_id: jnp.ndarray    # (M,) int32 sorted instance -> Gaussian index (N if invalid)
-    tile_id: jnp.ndarray     # (M,) int32 sorted tile ids (num_tiles if invalid)
-    tile_start: jnp.ndarray  # (T,) int32 first instance of each tile
-    tile_count: jnp.ndarray  # (T,) int32 number of instances in each tile
+    gauss_id: jnp.ndarray    # (M_aligned,) int32 slot -> Gaussian index (N if padding)
+    tile_id: jnp.ndarray     # (M_aligned,) int32 slot -> tile id (num_tiles if padding)
+    tile_start: jnp.ndarray  # (T,) int32 CHUNK-aligned first slot of each tile
+    tile_count: jnp.ndarray  # (T,) int32 true (unpadded) instance count per tile
     n_instances: jnp.ndarray  # () int32 number of valid instances
     n_dropped: jnp.ndarray   # () int32 instances dropped due to capacity
 
@@ -102,12 +103,36 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     tile_ids_all = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tile_ids_all, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_sorted, tile_ids_all, side="right").astype(jnp.int32)
+    tile_count = tile_end - tile_start
+
+    # --- chunk-aligned layout ------------------------------------------------
+    # Mosaic DMA requires lane-dim offsets/shapes aligned to 128, so each
+    # tile's instance segment is re-laid-out to start at a CHUNK multiple.
+    # Scatter sorted instances to their aligned destinations; padding slots
+    # keep gauss_id == n (masked to zero contribution downstream).
+    m_aligned = aligned_capacity(max_instances, num_tiles)
+    count_pad = -(-tile_count // CHUNK) * CHUNK
+    aligned_start = (jnp.cumsum(count_pad) - count_pad).astype(jnp.int32)
+
+    safe_tile = jnp.minimum(tile_sorted, num_tiles - 1)
+    within = jnp.arange(max_instances, dtype=jnp.int32) - jnp.take(tile_start, safe_tile)
+    dest = jnp.take(aligned_start, safe_tile) + within
+    dest = jnp.where(tile_sorted < num_tiles, dest, m_aligned)  # trash slot
+
+    gid_aligned = jnp.full((m_aligned + 1,), n, jnp.int32).at[dest].set(gid_sorted)[:-1]
+    tile_of_slot = jnp.full((m_aligned + 1,), num_tiles, jnp.int32) \
+        .at[dest].set(tile_sorted)[:-1]
 
     return TileBins(
-        gauss_id=gid_sorted,
-        tile_id=tile_sorted,
-        tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        gauss_id=gid_aligned,
+        tile_id=tile_of_slot,
+        tile_start=aligned_start,
+        tile_count=tile_count,
         n_instances=jnp.minimum(total, max_instances),
         n_dropped=n_dropped,
     )
+
+
+def aligned_capacity(max_instances: int, num_tiles: int) -> int:
+    """Static size of the chunk-aligned instance buffer."""
+    return max_instances + num_tiles * CHUNK
