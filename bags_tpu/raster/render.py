@@ -54,6 +54,7 @@ class RenderOutput(NamedTuple):
     depth: jnp.ndarray             # (N,) per-Gaussian view z
     mean2d: jnp.ndarray            # (N, 2) projected screen means
     n_dropped: jnp.ndarray         # () int32 instances over capacity
+    gauss_id: jnp.ndarray          # (M_aligned,) int32 slot -> Gaussian (N = pad)
 
 
 def _composite_backend(cfg: RenderConfig):
@@ -76,7 +77,7 @@ def render(
     bg: Optional[jnp.ndarray] = None,
     align: Optional[GlobalAlignment] = None,
     probe2d: Optional[jnp.ndarray] = None,
-    probe2d_abs: Optional[jnp.ndarray] = None,
+    probe2d_inst: Optional[jnp.ndarray] = None,
     extra_color: Optional[jnp.ndarray] = None,
     shift_factors: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
@@ -84,11 +85,15 @@ def render(
     """Differentiable render of one camera view.
 
     probe2d: optional (N, 2) zeros; gradients w.r.t. it are the per-Gaussian
-      screen-space gradient sums (densification stat, signed channel).
-    probe2d_abs: optional (N, 2) zeros; its gradient accumulates |per-tile|
-      contributions (the fork's abs-grad channel `means2D_densify`,
-      gaussian_model.py:449-455) — only exact per-instance when using the
-      staged training path; via plain jax.grad it matches the signed sum.
+      screen-space gradient sums (reference's `screenspace_points` trick,
+      densification stat, signed channel).
+    probe2d_inst: optional (M_aligned, 2) zeros added per *instance* after
+      the gather; its gradient yields per-tile-instance screen gradients,
+      from which BOTH densification channels derive: signed
+      |segment_sum(d)| and the fork's abs channel segment_sum(|d|)
+      (`means2D_densify`, gaussian_model.py:449-455). Use
+      `binning.aligned_capacity(cfg.max_instances, tiles_x*tiles_y)` for its
+      length; pair with the returned `gauss_id` for segment sums.
     """
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
@@ -102,8 +107,6 @@ def render(
     mean2d = proj.mean2d
     if probe2d is not None:
         mean2d = mean2d + probe2d
-    if probe2d_abs is not None:
-        mean2d = mean2d + probe2d_abs
 
     tiles_x, tiles_y = binning.tile_grid(static.width, static.height)
     sort_key = (distance_to_camera(xyz, cam, align)
@@ -118,6 +121,8 @@ def render(
     gid = jnp.minimum(bins.gauss_id, n - 1)
     inst_valid = bins.gauss_id < n
     mean2d_s = jnp.take(mean2d, gid, axis=0)
+    if probe2d_inst is not None:
+        mean2d_s = mean2d_s + probe2d_inst
     conic_s = jnp.take(proj.conic, gid, axis=0)
     color_s = jnp.take(proj.color, gid, axis=0)
     opacity_s = jnp.where(inst_valid, jnp.take(proj.opacity, gid, axis=0), 0.0)
@@ -148,4 +153,5 @@ def render(
         depth=proj.depth,
         mean2d=proj.mean2d,
         n_dropped=bins.n_dropped,
+        gauss_id=bins.gauss_id,
     )
