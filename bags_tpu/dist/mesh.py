@@ -1,0 +1,43 @@
+"""Device-mesh construction and sharding rules.
+
+The reference has NO distributed execution (SURVEY.md §2.2: single process,
+single cuda:0, shell-level fan-out only). This layer is the new scope defined
+by BASELINE.json's north star: shard image *tiles* and *Gaussians* across a
+TPU mesh with gradient collectives overlapped with backward, replacing a
+NCCL-style stack with `jax.sharding.Mesh` + `shard_map` over ICI.
+
+Axis layout:
+  'tile' — the single required axis. Gaussians are sharded over it for
+  projection/SH (compute + memory), then projected packets are all-gathered
+  (9 floats/Gaussian) so every device can bin/composite its own slab of
+  image tile rows. Backward reverses this: the all-gather transposes to a
+  reduce-scatter of per-Gaussian gradients onto the owning shard, and camera
+  pose gradients psum — exactly the overlap-friendly pattern XLA's
+  latency-hiding scheduler pipelines.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tile") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def gauss_sharding(mesh: Mesh) -> NamedSharding:
+    """Gaussian fields: sharded along capacity."""
+    return NamedSharding(mesh, P("tile"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(3, H, W) images: sharded along H (tile rows)."""
+    return NamedSharding(mesh, P(None, "tile", None))

@@ -33,19 +33,23 @@ def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise 11x11 blur. img: (C, H, W)."""
-    c = img.shape[0]
-    x = img[None]  # (1, C, H, W)
-    kh = jnp.tile(window.reshape(1, 1, -1, 1), (c, 1, 1, 1))
-    kw = jnp.tile(window.reshape(1, 1, 1, -1), (c, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
-    return x[0]
+    """Separable depthwise 11x11 blur as static shifted adds. img: (C, H, W).
+
+    TPU note: grouped `conv_general_dilated` triggers pathological TPU-XLA
+    compile times in its backward pass (minutes at 256x256); eleven shifted
+    multiply-adds per axis compile instantly, fuse into one VPU loop, and
+    transpose cleanly. Zero 'SAME' padding matches the torch conv2d
+    semantics of the reference (loss_utils.py:56-62)."""
+    k = window.shape[0]
+    half = k // 2
+    pad_h = jnp.pad(img, ((0, 0), (half, half), (0, 0)))
+    h = img.shape[1]
+    img = sum(window[i] * jax.lax.slice_in_dim(pad_h, i, i + h, axis=1)
+              for i in range(k))
+    pad_w = jnp.pad(img, ((0, 0), (0, 0), (half, half)))
+    w = img.shape[2]
+    return sum(window[i] * jax.lax.slice_in_dim(pad_w, i, i + w, axis=2)
+               for i in range(k))
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,

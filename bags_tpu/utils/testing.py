@@ -9,7 +9,8 @@ from ..core.camera import CameraParams, CameraStatic
 
 
 def make_toy_scene(n: int = 500, seed: int = 0, width: int = 64,
-                   height: int = 64, sh_degree: int = 0, depth_range=(4.0, 8.0)):
+                   height: int = 64, sh_degree: int = 0, depth_range=(4.0, 8.0),
+                   scale_range=(0.02, 0.12)):
     """Random Gaussians in a box in front of a camera at the origin looking +z."""
     rng = np.random.default_rng(seed)
     fovx = fovy = 0.8
@@ -25,7 +26,8 @@ def make_toy_scene(n: int = 500, seed: int = 0, width: int = 64,
     sh[:, 0, :] = rng.normal(0, 1.0, size=(n, 3))
     if k > 1:
         sh[:, 1:, :] = rng.normal(0, 0.1, size=(n, k - 1, 3))
-    scales = np.exp(rng.uniform(np.log(0.02), np.log(0.12), size=(n, 3))).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(scale_range[0]), np.log(scale_range[1]),
+                                size=(n, 3))).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     opacity = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)

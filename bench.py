@@ -1,0 +1,82 @@
+"""Benchmark: fwd+bwd rasterization throughput (pixels/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: 100k Gaussians, 800x800 image, SH degree 3, full differentiable
+train-style step (render -> L1+SSIM loss -> grads for Gaussians + camera
+pose/intrinsics) on one chip — the BASELINE.json "pixels/s/chip fwd+bwd"
+metric.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline constant is the throughput a stock CUDA 3DGS fwd+bwd achieves on an
+RTX 4090-class GPU (~25 train iters/s at 800x800 ≈ 1.6e7 pixels/s), the
+hardware class the reference README targets (README.md:40-44).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PIXELS_PER_S = 1.6e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bags_tpu.raster import RenderConfig, render
+    from bags_tpu.train.losses import photometric_loss
+    from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
+    from bags_tpu.utils.testing import make_toy_scene
+
+    enable_persistent_cache()
+    warm_ssim_grad()  # axon compile-service warmup (see utils/cache.py)
+
+    # Lego-class workload: 100k Gaussians at 800x800, splat sizes chosen so
+    # the mean tile coverage (~4-8 tiles/Gaussian) matches a trained
+    # NeRF-Synthetic scene rather than a pathological full-screen overlap.
+    n, width, height = 100_000, 800, 800
+    sc = make_toy_scene(n=n, width=width, height=height, sh_degree=3, seed=0,
+                        scale_range=(0.008, 0.035))
+    static = sc["static"]
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=2 ** 20)
+    gt = jnp.zeros((3, height, width), jnp.float32)
+
+    def loss_fn(xyz, scales, quats, opacity, sh, cam):
+        out = render(xyz, scales, quats, opacity, sh, cam, static, cfg)
+        return photometric_loss(out.render, gt)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
+    args = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+            sc["sh_coeffs"], sc["cam"])
+
+    # Staged compiles: the axon compile service hits a pathological slow path
+    # on cold monolithic fwd+bwd graphs; compiling the forward first warms
+    # the service so the grad compile is incremental (see utils/cache.py).
+    fwd = jax.jit(lambda *a: render(*a, static, cfg).render)
+    jax.block_until_ready(fwd(*args))
+    out = grad_fn(*args)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = grad_fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    pixels_per_s = width * height / dt
+    print(json.dumps({
+        "metric": "pixels_per_s_fwd_bwd",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
