@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.camera import CameraParams, CameraStatic, GlobalAlignment
 from ..core.projection import Projected, project_gaussians

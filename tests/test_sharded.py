@@ -1,0 +1,101 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bags_tpu.core.camera import CameraParams, CameraStatic
+from bags_tpu.dist.mesh import make_mesh
+from bags_tpu.dist.sharded import sharded_render_loss
+from bags_tpu.raster import RenderConfig, render
+from bags_tpu.train.losses import photometric_loss
+from bags_tpu.utils.testing import make_toy_scene
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_loss_matches_single_device(n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    wh = 16 * n_devices  # tile rows divide the mesh
+    sc = make_toy_scene(n=64 * n_devices, width=wh, height=wh, sh_degree=1,
+                        seed=8)
+    static = sc["static"]
+    rcfg = RenderConfig(sh_degree=1, backend="jnp",
+                        max_instances=1024 * n_devices, max_per_tile=1024)
+
+    from bags_tpu.model.gaussians import Gaussians
+    n = sc["xyz"].shape[0]
+    g = Gaussians(
+        xyz=sc["xyz"],
+        sh_dc=sc["sh_coeffs"][:, :1, :],
+        sh_rest=sc["sh_coeffs"][:, 1:, :],
+        scales_log=jnp.log(sc["scales"]),
+        quats=sc["quats"],
+        opacity_raw=jnp.log(sc["opacity"] / (1 - sc["opacity"])),
+    )
+    alive = jnp.ones((n,), bool)
+    gt = jnp.zeros((3, wh, wh))
+    bg = jnp.zeros(3)
+
+    loss_fn, probe_len = sharded_render_loss(mesh, static, rcfg)
+    from bags_tpu.core.camera import GlobalAlignment
+    align = GlobalAlignment.identity()
+    probe = jnp.zeros((probe_len, 2))
+    loss_sharded, aux = jax.jit(loss_fn)(g, alive, sc["cam"], align, probe,
+                                         gt, bg)
+
+    # single-device oracle
+    out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive), g.sh_coeffs(),
+                 sc["cam"], static, rcfg, bg=bg)
+    loss_single = photometric_loss(out.render, gt)
+
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux["image"]),
+                               np.asarray(out.render), atol=1e-5)
+
+
+def test_sharded_grads_match_single_device():
+    n_devices = 4
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    wh = 16 * n_devices
+    sc = make_toy_scene(n=32 * n_devices, width=wh, height=wh, seed=9)
+    static = sc["static"]
+    rcfg = RenderConfig(sh_degree=0, backend="jnp",
+                        max_instances=512 * n_devices, max_per_tile=512)
+
+    from bags_tpu.core.camera import GlobalAlignment
+    from bags_tpu.model.gaussians import Gaussians
+    n = sc["xyz"].shape[0]
+    g = Gaussians(
+        xyz=sc["xyz"], sh_dc=sc["sh_coeffs"][:, :1, :],
+        sh_rest=sc["sh_coeffs"][:, 1:, :],
+        scales_log=jnp.log(sc["scales"]), quats=sc["quats"],
+        opacity_raw=jnp.log(sc["opacity"] / (1 - sc["opacity"])))
+    alive = jnp.ones((n,), bool)
+    gt = jnp.full((3, wh, wh), 0.2)
+    bg = jnp.zeros(3)
+    align = GlobalAlignment.identity()
+
+    loss_fn, probe_len = sharded_render_loss(mesh, static, rcfg)
+
+    def sharded(g, cam):
+        probe = jnp.zeros((probe_len, 2))
+        return loss_fn(g, alive, cam, align, probe, gt, bg)[0]
+
+    def single(g, cam):
+        out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
+                     g.sh_coeffs(), cam, static, rcfg, bg=bg)
+        return photometric_loss(out.render, gt)
+
+    gs = jax.jit(jax.grad(sharded, argnums=(0, 1)))(g, sc["cam"])
+    g1 = jax.jit(jax.grad(single, argnums=(0, 1)))(g, sc["cam"])
+    for a, b in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
