@@ -1,0 +1,172 @@
+"""Cubemap rendering pipeline for >180° field-of-view cameras.
+
+Capability parity with `/root/reference/utils/cubemap_utils.py`: render the
+forward face plus up/down/left/right sub-cameras (±90° rotations built in
+core/camera.rotate_camera_pose), warp each through the shared distortion
+field by reprojecting the forward-face distorted rays onto each face via
+perspective division (`apply_flow_up_down_left_right` :139-189), half-mask
+the side faces (:192-216), and composite against a circular-masked fisheye
+GT (`generate_circular_mask` :48-75). The distortion field is the base
+tan-warp plus an iResNet residual on a sparse control grid, bilinearly
+upsampled (`render_cubemap` :233-252).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.image import grid_sample, resize_bilinear
+from .iresnet import IResNetParams, iresnet_forward
+
+
+def generate_ray_grid(K: np.ndarray, width: int, height: int,
+                      sample_rate: int = 1) -> jnp.ndarray:
+    """Pixel grid over [0,W]x[0,H] back-projected through K^-1
+    (`generate_pts_up_down_left_right` :23-45). Returns (N, 2) xy ray dirs
+    in z=1 plane, row-major over a (H/s, W/s) grid."""
+    i, j = np.meshgrid(np.linspace(0, width, width // sample_rate),
+                       np.linspace(0, height, height // sample_rate),
+                       indexing="ij")
+    pts = np.stack((i.T, j.T), axis=-1).reshape(-1, 2)
+    hom = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+    view = (np.linalg.inv(np.asarray(K, np.float64)) @ hom.T).T
+    return jnp.asarray((view[:, :2] / view[:, 2:3]).astype(np.float32))
+
+
+def face_reproject(rays_hom: jnp.ndarray, face: str) -> jnp.ndarray:
+    """Map forward-face distorted homogeneous rays onto a cube face by
+    perspective division (:143-167). Returns (N, 3) homogeneous coords."""
+    x, y, z = rays_hom[:, 0], rays_hom[:, 1], rays_hom[:, 2]
+    if face == "forward":
+        out = rays_hom
+        return out
+    if face == "left":
+        p = jnp.stack((-z / x, -y / x), axis=1)
+    elif face == "right":
+        p = jnp.stack((-z / x, y / x), axis=1)
+    elif face == "up":
+        p = jnp.stack((-x / y, -z / y), axis=1)
+    elif face == "down":
+        p = jnp.stack((x / y, -z / y), axis=1)
+    else:
+        raise ValueError(face)
+    return jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=1)
+
+
+def warp_to_face(K: jnp.ndarray, rays_hom: jnp.ndarray, img: jnp.ndarray,
+                 face: str, height: int, width: int) -> jnp.ndarray:
+    """Project the (re-projected) distorted rays through K and grid-sample
+    the face render (:169-189)."""
+    rays = face_reproject(rays_hom, face)
+    pix = (rays @ K.T)
+    pix = pix[:, :2] / pix[:, 2:3]
+    pix = pix.reshape(height, width, 2)
+    gx = pix[..., 0] / (img.shape[2] - 1) * 2 - 1
+    gy = pix[..., 1] / (img.shape[1] - 1) * 2 - 1
+    return grid_sample(img, jnp.stack((gx, gy), axis=-1), align_corners=True)
+
+
+def mask_half(image: jnp.ndarray, direction: str) -> jnp.ndarray:
+    """Zero one half of the image (:192-216): 'left' masks the right half,
+    'right' the left half, 'up' the lower half, 'down' the upper half."""
+    _, h, w = image.shape
+    mask = jnp.ones((h, w), image.dtype)
+    col = jnp.arange(w)[None, :]
+    row = jnp.arange(h)[:, None]
+    if direction == "right":
+        mask = jnp.where(col < w // 2, 0.0, mask)
+    elif direction == "left":
+        mask = jnp.where(col >= w // 2, 0.0, mask)
+    elif direction == "down":
+        mask = jnp.where(row < h // 2, 0.0, mask)
+    elif direction == "up":
+        mask = jnp.where(row >= h // 2, 0.0, mask)
+    return image * mask[None]
+
+
+def circular_mask(height: int, width: int, radius: float) -> jnp.ndarray:
+    """(3, H, W) disc mask about the image center (:48-75)."""
+    yc, xc = height // 2, width // 2
+    y, x = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+    d = jnp.sqrt((x - xc) ** 2.0 + (y - yc) ** 2.0)
+    return jnp.broadcast_to((d <= radius).astype(jnp.float32),
+                            (3, height, width))
+
+
+def fov90_square_mask(height: int, width: int, focal_x: float,
+                      focal_y: float) -> jnp.ndarray:
+    """Central square covering the ±45° frustum of the forward face
+    (train.py:232-233 semantics: half-width = focal)."""
+    y, x = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+    inside = (jnp.abs(x - width / 2) <= focal_x) & \
+        (jnp.abs(y - height / 2) <= focal_y)
+    return inside.astype(jnp.float32)[None]
+
+
+def distorted_rays(cubemap_net: IResNetParams, K: np.ndarray, width: int,
+                   height: int, control_point_sample_scale: int
+                   ) -> jnp.ndarray:
+    """Full-res distorted homogeneous rays: base tan-warp + upsampled
+    iResNet residual on the control grid (`render_cubemap` :233-252)."""
+    rays_base = generate_ray_grid(K, width, height, 1)
+    rays_ctrl = generate_ray_grid(K, width, height,
+                                  control_point_sample_scale)
+
+    def tan_warp(rays, clip=None):
+        r_d = jnp.sqrt(jnp.sum(rays ** 2, axis=-1, keepdims=True))
+        inv = 1.0 / (r_d + 1e-7)
+        r_c = jnp.minimum(r_d, clip) if clip is not None else r_d
+        return rays * (jnp.tan(r_c) * inv)
+
+    rays_dis_base = tan_warp(rays_base)
+    rays_dis_ctrl = tan_warp(rays_ctrl, clip=1.55)
+
+    residual = iresnet_forward(cubemap_net, rays_dis_ctrl,
+                               sensor_to_frustum=True) - rays_dis_ctrl
+    hs = height // control_point_sample_scale
+    ws = width // control_point_sample_scale
+    residual = residual.reshape(hs, ws, 2).transpose(2, 0, 1)
+    up = resize_bilinear(residual, (height, width)).transpose(1, 2, 0)
+    rays = rays_dis_base + up.reshape(-1, 2)
+    return jnp.concatenate([rays, jnp.ones_like(rays[:, :1])], axis=1)
+
+
+FACES = ("forward", "up", "down", "left", "right")
+
+
+def render_cubemap_faces(render_face: Callable[[int], jnp.ndarray],
+                         cubemap_net: IResNetParams, K, width: int,
+                         height: int, control_point_sample_scale: int,
+                         mask_fov90: jnp.ndarray
+                         ) -> List[jnp.ndarray]:
+    """Render + warp the five faces (`render_cubemap` :219-288).
+
+    render_face(i) must return the (3, H, W) render for face i in FACES
+    order (0 = the main camera, 1..4 = the ±90° sub-cameras from
+    `core.camera.rotate_camera_pose`). Returns the list of distorted
+    (half-masked for side faces) images to composite/loss against the
+    circular-masked fisheye GT.
+    """
+    K = jnp.asarray(np.asarray(K, np.float32))
+    rays_hom = distorted_rays(cubemap_net, np.asarray(K), width, height,
+                              control_point_sample_scale)
+    out = []
+    for i, face in enumerate(FACES):
+        img = render_face(i) * mask_fov90
+        warped = warp_to_face(K, rays_hom, img, face, height, width)
+        if face != "forward":
+            warped = mask_half(warped, face)
+        out.append(warped)
+    return out
+
+
+SUB_CAMERA_ROTATIONS = (
+    (90.0, 0.0, 0.0),    # up
+    (-90.0, 0.0, 0.0),   # down
+    (0.0, -90.0, 0.0),   # left
+    (0.0, 90.0, 0.0),    # right
+    (0.0, 180.0, 0.0),   # back (built but unused in the 5-face loss)
+)

@@ -1,0 +1,208 @@
+"""Hybrid field-of-view lens distortion pipeline.
+
+Capability parity with `/root/reference/utils/util_distortion.py`:
+  * control-point grids on an extended sensor back-projected through K^-1
+    (`generate_control_pts` :314-342, `generate_pts` :79-109)
+  * analytic initialization targets from COLMAP radial / OPENCV_FISHEYE
+    coefficients (`init_from_coeff` :132-168, `read_colmap_coeff` :111-130)
+  * iResNet pre-fitting to those targets (`init_iresnet` :210-269,
+    `init_cubemap` :182-208 for the theta-polynomial cubemap net)
+  * `apply_distortion` (:271-311): run the invertible net on the sparse
+    control grid, scale by the projection matrix into NDC flow, bilinearly
+    upsample to full resolution, grid-sample-warp the rendered perspective
+    image into the distorted (fisheye) frame — or the GT in the other
+    direction (`apply2gt`) — and return the validity mask.
+
+All pieces are pure jnp + optax and jit cleanly; the warp is the
+differentiable `utils/image.grid_sample`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.image import center_crop_resample, grid_sample, resize_bilinear
+from .iresnet import IResNetParams, iresnet_forward
+
+
+def make_control_grid(K: np.ndarray, sensor_w: int, sensor_h: int,
+                      sample_w: int, sample_h: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sensor pixel grid + normalized in-lens ray directions.
+
+    Mirrors `generate_control_pts`: a (sample_h, sample_w) grid spanning
+    [0, sensor_w] x [0, sensor_h] with the principal point at the sensor
+    center, back-projected through K^-1 and dehomogenized.
+    Returns (P_sensor (h, w, 2), P_view (h*w, 2)).
+    """
+    K = np.array(K, np.float64)
+    K[0, 2] = sensor_w / 2
+    K[1, 2] = sensor_h / 2
+    i, j = np.meshgrid(np.linspace(0, sensor_w, sample_w),
+                       np.linspace(0, sensor_h, sample_h), indexing="ij")
+    p_sensor = np.stack((i.T, j.T), axis=-1).astype(np.float32)
+    flat = p_sensor.reshape(-1, 2)
+    hom = np.concatenate([flat, np.ones((flat.shape[0], 1), np.float32)], 1)
+    view = (np.linalg.inv(K) @ hom.T).T
+    view = (view[:, :2] / view[:, 2:3]).astype(np.float32)
+    return jnp.asarray(p_sensor), jnp.asarray(view)
+
+
+def distort_by_coeff(points: jnp.ndarray, coeff) -> jnp.ndarray:
+    """Analytic distortion of normalized points (`init_from_coeff`):
+    4 coeffs -> OPENCV_FISHEYE theta-polynomial, 2/3 -> radial r^2/r^4(/r^6),
+    8 -> OPENCV (radial part of the fisheye form as the reference uses)."""
+    coeff = list(coeff)
+    r = jnp.sqrt(jnp.sum(points ** 2, axis=-1, keepdims=True))
+    r = jnp.clip(r, 1e-9)
+    theta = jnp.arctan(r)
+    inv_r = 1.0 / r
+    if len(coeff) == 4 or len(coeff) == 8:
+        k = coeff[:4] if len(coeff) == 8 else coeff
+        poly = theta + k[0] * theta ** 3 + k[1] * theta ** 5 \
+            + k[2] * theta ** 7 + (k[3] * theta ** 9 if len(coeff) == 4 else 0.0)
+        return points * (inv_r * poly)
+    if len(coeff) == 2:
+        return points * (1 + coeff[0] * r ** 2 + coeff[1] * r ** 4)
+    if len(coeff) == 3:
+        return points * (1 + coeff[0] * r ** 2 + coeff[1] * r ** 4
+                         + coeff[2] * r ** 6)
+    return points
+
+
+def read_colmap_coeff(source_path: str) -> list:
+    """Fetch distortion coefficients from the paired fisheye COLMAP model or
+    a VR-NeRF cameras.json (`read_colmap_coeff`, util_distortion.py:111-130)."""
+    import json
+    import os
+
+    from ..data.colmap import read_cameras_binary
+
+    candidates = [os.path.join(source_path, "fish", "sparse", "0", "cameras.bin"),
+                  os.path.join(source_path, "sparse", "0", "cameras.bin")
+                  if "fish" in source_path else None]
+    for path in filter(None, candidates):
+        if os.path.exists(path):
+            for cam in read_cameras_binary(path).values():
+                if "FISHEYE" in cam.model:
+                    return cam.params[-4:].tolist()
+                if "RADIAL" in cam.model:
+                    return cam.params[-2:].tolist()
+    krt = os.path.join(source_path, "cameras.json")
+    if os.path.exists(krt):
+        with open(krt) as f:
+            return json.load(f)["KRT"][-1]["distortion"]
+    return [0.0, 0.0, 0.0, 0.0]
+
+
+def fit_iresnet_to_targets(params: IResNetParams, inputs: jnp.ndarray,
+                           targets: jnp.ndarray, iters: int = 5000,
+                           lr: float = 1e-4) -> IResNetParams:
+    """Pre-fit the lens net so forward(inputs) ~= targets (`init_iresnet`
+    semantics; the reference uses 5k Adam steps)."""
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(p):
+            pred = iresnet_forward(p, inputs, sensor_to_frustum=True)
+            pred = jnp.where(jnp.isfinite(pred), pred, 0.0)
+            return jnp.mean((pred - targets) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    return params
+
+
+def init_iresnet_from_colmap(params: IResNetParams, K: np.ndarray,
+                             fish_w: int, fish_h: int, coeff,
+                             iters: int = 5000, lr: float = 1e-4
+                             ) -> IResNetParams:
+    """Two-scale control grids (boundary scales 5 and 1.5, 40x40-ish
+    sampling) fitted to the analytic coefficient model
+    (`init_iresnet`, util_distortion.py:210-257)."""
+    grids = []
+    for boundary_scale in (5.0, 1.5):
+        w = int(fish_w * boundary_scale)
+        h = int(fish_h * boundary_scale)
+        _, view = make_control_grid(K, w, h, 40, 40)
+        grids.append(view)
+    inputs = jnp.concatenate(grids, axis=0)
+    targets = distort_by_coeff(inputs, coeff)
+    targets = jnp.where(jnp.isfinite(targets), targets, 0.0)
+    return fit_iresnet_to_targets(params, inputs, targets, iters, lr)
+
+
+def init_cubemap_net(params: IResNetParams, coeff, iters: int = 100,
+                     lr: float = 1e-4) -> IResNetParams:
+    """Fit the cubemap residual net on circular samples of the
+    theta-polynomial (`init_cubemap`, util_distortion.py:182-208):
+    inputs are base-tan-warped distorted points, targets the ideal points."""
+    radii = np.arange(0.05, 80.0 + 1e-7, 0.05)
+    angles = np.linspace(0, 2 * np.pi, 100)
+    R, Th = np.meshgrid(radii, angles, indexing="ij")
+    pts_n = np.stack([(R * np.cos(Th)).ravel(), (R * np.sin(Th)).ravel()],
+                     axis=-1).astype(np.float32)
+    r_n = np.sqrt((pts_n ** 2).sum(-1))
+    at = np.arctan(r_n)
+    r_d = at + coeff[0] * at ** 3 + coeff[1] * at ** 5 \
+        + coeff[2] * at ** 7 + coeff[3] * at ** 9
+    pts_d = pts_n * (r_d / (r_n + 1e-5))[:, None]
+    scale = r_n / (r_d + 1e-5)
+    train_x = jnp.asarray(pts_d * scale[:, None])
+    train_y = jnp.asarray(pts_n)
+    return fit_iresnet_to_targets(params, train_x, train_y, iters, lr)
+
+
+def compute_flow(lens_params: IResNetParams, p_view: jnp.ndarray,
+                 grid_hw: Tuple[int, int], proj_scale: jnp.ndarray,
+                 out_hw: Tuple[int, int], sensor_to_frustum: bool
+                 ) -> jnp.ndarray:
+    """Control points -> NDC flow field at full resolution
+    (apply_distortion:273-285): run the INN, scale x/y by the projection
+    diag (1/tan(fov/2)), bilinearly upsample."""
+    out = iresnet_forward(lens_params, p_view,
+                          sensor_to_frustum=sensor_to_frustum)
+    ctrl = out.reshape(grid_hw[0], grid_hw[1], 2)
+    flow = ctrl * proj_scale.reshape(1, 1, 2)
+    flow = resize_bilinear(flow.transpose(2, 0, 1), out_hw).transpose(1, 2, 0)
+    return flow
+
+
+def apply_distortion(lens_params: IResNetParams, p_view: jnp.ndarray,
+                     grid_hw: Tuple[int, int], image: jnp.ndarray,
+                     proj_scale: jnp.ndarray, out_hw: Tuple[int, int],
+                     final_hw: Optional[Tuple[int, int]] = None,
+                     apply2gt: bool = False,
+                     flow: Optional[jnp.ndarray] = None):
+    """Warp a rendered perspective image into the distorted frame (or the
+    fisheye GT into perspective when apply2gt). Returns (warped, mask, flow).
+
+    apply_distortion:271-311 — forward direction (apply2gt) vs inverse,
+    grid_sample with zeros padding + align_corners, validity mask from
+    near-zero pixels, optional center crop to the fisheye resolution.
+    """
+    if flow is None:
+        flow = compute_flow(lens_params, p_view, grid_hw, proj_scale, out_hw,
+                            sensor_to_frustum=apply2gt)
+    warped = grid_sample(image, flow, align_corners=True)
+    if not apply2gt and final_hw is not None and \
+            final_hw != warped.shape[-2:]:
+        warped = center_crop_resample(warped, final_hw[0], final_hw[1])
+    if apply2gt:
+        mask = (~((warped[0] < 1e-5) & (warped[1] < 1e-5)))[None].astype(
+            warped.dtype)
+    else:
+        mask = (~((warped[0] == 0.0) & (warped[1] == 0.0)))[None].astype(
+            warped.dtype)
+    return warped, mask, flow
