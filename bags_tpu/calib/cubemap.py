@@ -150,8 +150,8 @@ def render_cubemap_faces(render_face: Callable[[int], jnp.ndarray],
     (half-masked for side faces) images to composite/loss against the
     circular-masked fisheye GT.
     """
-    K = jnp.asarray(np.asarray(K, np.float32))
-    rays_hom = distorted_rays(cubemap_net, np.asarray(K), width, height,
+    K = np.asarray(K, np.float32)  # host-side constant (inv/grid generation)
+    rays_hom = distorted_rays(cubemap_net, K, width, height,
                               control_point_sample_scale)
     out = []
     for i, face in enumerate(FACES):

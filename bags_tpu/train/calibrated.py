@@ -1,0 +1,381 @@
+"""Calibrated training modes: fisheye (outside-rasterizer) and cubemap.
+
+Capability parity with the reference's calibration training paths:
+  * fisheye / `--outside_rasterizer` (`train.py:255-325`): render the scene
+    at an extended FoV, warp the render into the fisheye frame through the
+    iResNet lens field (or warp the GT into perspective with `--apply2gt`),
+    masked L1+SSIM loss, joint optimization of Gaussians, camera poses/
+    intrinsics, the lens net (Adam, `--iresnet_lr`), the vignetting model
+    after `--start_vignetting`, and the entrance-pupil shift (`--opt_shift`,
+    Adam lr 1e-5, train.py:124-126);
+  * cubemap / `--cubemap` (`train.py:231-247,287-323`): five-face rendering
+    through `calib.cubemap`, per-face masked losses against a circular-
+    masked fisheye GT with the (5 - sum ssim) objective; cubemap_net
+    NaN-guarded updates (train.py:423-432).
+
+The extended-FoV camera geometry mirrors `scene/cameras.py:117-175`: for
+apply2render the render spans focal2fov(f, flow_scale * W_perspective) at
+render_resolution * perspective resolution; for apply2gt it spans the
+fisheye sizes. Learnable per-camera FoVs are re-initialized to the extended
+values, so intrinsics optimization operates on the extended frustum exactly
+as in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..calib import cubemap as cubemap_lib
+from ..calib import distortion as dist_lib
+from ..calib.iresnet import IResNetParams, init_iresnet_params
+from ..calib.vignetting import VignettingParams, vignetting_mask
+from ..core.camera import CameraParams, CameraStatic, rotate_camera_pose
+from ..model.densify import update_stats
+from ..raster import RenderConfig, render
+from ..raster.binning import aligned_capacity, tile_grid
+from .config import TrainConfig
+from .losses import photometric_loss
+from .loop import TrainState, Trainer, row_adam_update
+from .optim import _adam
+
+
+# ---------------------------------------------------------------------------
+# Extended-FoV fisheye geometry
+# ---------------------------------------------------------------------------
+
+def _focal2fov(f, px):
+    return 2.0 * np.arctan(px / (2.0 * f))
+
+
+@dataclasses.dataclass(frozen=True)
+class FisheyeSetup:
+    render_static: CameraStatic       # extended-FoV render size
+    fish_hw: Tuple[int, int]          # fisheye GT (H, W)
+    grid_hw: Tuple[int, int]          # control-grid sampling (h, w)
+    flow_hw: Tuple[int, int]          # flow upsample target (H, W)
+    fovx: float                       # extended FoVs (init for learnables)
+    fovy: float
+
+
+def make_fisheye_setup(focal_x: float, focal_y: float,
+                       persp_wh: Tuple[int, int], fish_wh: Tuple[int, int],
+                       flow_scale=(1.0, 1.0), render_resolution: float = 1.0,
+                       control_point_sample_scale: int = 8,
+                       apply2gt: bool = False) -> FisheyeSetup:
+    pw, ph = persp_wh
+    fw, fh = fish_wh
+    if not apply2gt:
+        # cameras.py:154-161
+        fovx = _focal2fov(focal_x, int(flow_scale[0] * pw))
+        fovy = _focal2fov(focal_y, int(flow_scale[1] * ph))
+        rw, rh = int(render_resolution * pw), int(render_resolution * ph)
+        # util_distortion.py:299 (note the reference's index/scale pairing)
+        flow_hw = (int(fh * flow_scale[0]), int(fw * flow_scale[1]))
+    else:
+        # cameras.py:167-175
+        fovx = _focal2fov(focal_x, int(flow_scale[0] * fw))
+        fovy = _focal2fov(focal_y, int(flow_scale[1] * fh))
+        rw = int((flow_scale[0] / flow_scale[1]) * render_resolution * fw)
+        rh = int(render_resolution * fh)
+        flow_hw = (rh, rw)
+    grid_hw = (max(rh // control_point_sample_scale, 2),
+               max(rw // control_point_sample_scale, 2))
+    return FisheyeSetup(
+        render_static=CameraStatic(width=rw, height=rh),
+        fish_hw=(fh, fw), grid_hw=grid_hw, flow_hw=flow_hw,
+        fovx=float(fovx), fovy=float(fovy))
+
+
+def fisheye_control_points(setup: FisheyeSetup, focal_x: float,
+                           focal_y: float, flow_scale=(1.0, 1.0)
+                           ) -> jnp.ndarray:
+    """`generate_control_pts` (util_distortion.py:314-342): grid over the
+    flow-scaled fisheye sensor, back-projected through the (recentered) K."""
+    fh, fw = setup.fish_hw
+    sensor_w = int(fw * flow_scale[0])
+    sensor_h = int(fh * flow_scale[1])
+    K = np.array([[focal_x, 0, sensor_w / 2],
+                  [0, focal_y, sensor_h / 2],
+                  [0, 0, 1.0]])
+    _, view = dist_lib.make_control_grid(
+        K, sensor_w, sensor_h, setup.grid_hw[1], setup.grid_hw[0])
+    return view
+
+
+# ---------------------------------------------------------------------------
+# Calibrated state
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CalibState:
+    base: TrainState
+    lens: IResNetParams
+    lens_opt: optax.OptState
+    cubemap_net: IResNetParams
+    cubemap_opt: optax.OptState
+    vig: VignettingParams
+    vig_opt: optax.OptState
+    shift: jnp.ndarray
+    shift_opt: optax.OptState
+
+
+def init_calib_state(base: TrainState, cfg: TrainConfig,
+                     seed: int = 0) -> Tuple[CalibState, dict]:
+    lens = init_iresnet_params(seed=seed)
+    cub = init_iresnet_params(seed=seed + 1)
+    vig = VignettingParams.create()
+    shift = jnp.zeros((3,), jnp.float32)
+    txs = {
+        "lens": _adam(cfg.calib.iresnet_lr),
+        "cubemap": _adam(cfg.calib.iresnet_lr),
+        "vig": _adam(1e-3),
+        "shift": _adam(1e-5),          # train.py:126
+    }
+    return CalibState(
+        base=base,
+        lens=lens, lens_opt=txs["lens"].init(lens),
+        cubemap_net=cub, cubemap_opt=txs["cubemap"].init(cub),
+        vig=vig, vig_opt=txs["vig"].init(vig),
+        shift=shift, shift_opt=txs["shift"].init(shift),
+    ), txs
+
+
+# ---------------------------------------------------------------------------
+# Fisheye train step
+# ---------------------------------------------------------------------------
+
+def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
+                            cfg: TrainConfig, g_tx, txs, sh_degree: int,
+                            opt_lens: bool, use_vignetting: bool):
+    static = setup.render_static
+    tiles_x, tiles_y = tile_grid(static.width, static.height)
+    m_aligned = aligned_capacity(rcfg.max_instances, tiles_x * tiles_y)
+    rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
+    lam = cfg.opt.lambda_dssim
+    apply2gt = cfg.calib.apply2gt
+    use_mask = not cfg.calib.no_distortion_mask
+
+    @jax.jit
+    def step(state: CalibState, fish_gt: jnp.ndarray, p_view: jnp.ndarray,
+             cam_idx: jnp.ndarray, bg: jnp.ndarray):
+        b = state.base
+        cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
+        probe = jnp.zeros((m_aligned, 2), jnp.float32)
+
+        def loss_fn(g, cam, align, probe_inst, lens, vig, shift):
+            out = render(
+                g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
+                g.sh_coeffs(), cam, static, rcfg, bg=bg, align=align,
+                probe2d_inst=probe_inst,
+                shift_factors=shift if cfg.calib.opt_shift else None)
+            proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
+                                    1.0 / jnp.tan(cam.fovy * 0.5)])
+            if not apply2gt:
+                warped, mask, _ = dist_lib.apply_distortion(
+                    lens, p_view, setup.grid_hw, out.render, proj_scale,
+                    setup.flow_hw, final_hw=setup.fish_hw, apply2gt=False)
+                gt_img = fish_gt
+                if use_vignetting:
+                    mask = mask * vignetting_mask(vig, *setup.fish_hw)[None]
+                if use_mask:
+                    gt_img = gt_img * mask
+                loss = photometric_loss(warped, gt_img, lam)
+                image = warped
+            else:
+                gt_warped, mask, _ = dist_lib.apply_distortion(
+                    lens, p_view, setup.grid_hw, fish_gt, proj_scale,
+                    setup.flow_hw, apply2gt=True)
+                image = out.render
+                if use_vignetting:
+                    mask = mask * vignetting_mask(
+                        vig, static.height, static.width)[None]
+                if use_mask:
+                    image = image * mask
+                loss = photometric_loss(image, gt_warped, lam)
+            return loss, (out, image)
+
+        (loss, (out, image)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6), has_aux=True)(
+                b.g, cam_i, b.align, probe, state.lens, state.vig,
+                state.shift)
+        (g_grads, cam_grads, align_grads, probe_grads, lens_grads,
+         vig_grads, shift_grads) = grads
+
+        updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
+        new_g = optax.apply_updates(b.g, updates)
+        new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
+                                            cam_idx, cfg.calib)
+
+        if opt_lens:
+            # NaN guard (train.py:423-432): skip the update on any NaN grad.
+            bad = jnp.any(jnp.array(
+                [jnp.any(~jnp.isfinite(l))
+                 for l in jax.tree_util.tree_leaves(lens_grads)]))
+            lens_grads = jax.tree_util.tree_map(
+                lambda l: jnp.where(bad, jnp.zeros_like(l), l), lens_grads)
+            l_upd, lens_opt = txs["lens"].update(lens_grads, state.lens_opt,
+                                                state.lens)
+            new_lens = optax.apply_updates(state.lens, l_upd)
+        else:
+            new_lens, lens_opt = state.lens, state.lens_opt
+
+        if use_vignetting:
+            v_upd, vig_opt = txs["vig"].update(vig_grads, state.vig_opt,
+                                               state.vig)
+            new_vig = optax.apply_updates(state.vig, v_upd)
+        else:
+            new_vig, vig_opt = state.vig, state.vig_opt
+
+        if cfg.calib.opt_shift:
+            s_upd, shift_opt = txs["shift"].update(shift_grads,
+                                                   state.shift_opt,
+                                                   state.shift)
+            new_shift = optax.apply_updates(state.shift, s_upd)
+        else:
+            new_shift, shift_opt = state.shift, state.shift_opt
+
+        n = b.g.capacity
+        gid = out.gauss_id
+        signed = jax.ops.segment_sum(probe_grads, gid, num_segments=n + 1)[:n]
+        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), gid,
+                                   num_segments=n + 1)[:n]
+        stats = update_stats(b.stats, signed, abs_, out.radii, out.visibility)
+
+        new_base = dataclasses.replace(
+            b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
+            stats=stats, step=b.step + 1)
+        new_state = dataclasses.replace(
+            state, base=new_base, lens=new_lens, lens_opt=lens_opt,
+            vig=new_vig, vig_opt=vig_opt, shift=new_shift,
+            shift_opt=shift_opt)
+        return new_state, (loss, image)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Cubemap train step
+# ---------------------------------------------------------------------------
+
+def build_sub_cameras(cams: CameraParams) -> List[CameraParams]:
+    """The five ±90° sub-camera batches (cameras.py:177-201)."""
+    subs = []
+    from ..core.lie import quat_to_rotmat
+    R = np.asarray(quat_to_rotmat(cams.q_init + cams.dq))
+    t = np.asarray(cams.t_init + cams.dt)
+    for degs in cubemap_lib.SUB_CAMERA_ROTATIONS:
+        rs, ts = [], []
+        for i in range(R.shape[0]):
+            Rn, tn = rotate_camera_pose(jnp.asarray(R[i]), jnp.asarray(t[i]),
+                                        *degs)
+            rs.append(np.asarray(Rn))
+            ts.append(np.asarray(tn))
+        sub = CameraParams.create(np.stack(rs), np.stack(ts),
+                                  np.asarray(cams.fovx), np.asarray(cams.fovy))
+        subs.append(sub)
+    return subs
+
+
+def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
+                            cfg: TrainConfig, g_tx, txs, sh_degree: int,
+                            focal_x: float, focal_y: float):
+    """Five-face cubemap training (train.py:231-247, 287-323)."""
+    tiles_x, tiles_y = tile_grid(static.width, static.height)
+    m_aligned = aligned_capacity(rcfg.max_instances, tiles_x * tiles_y)
+    rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
+                               sort_by_distance=True)
+    lam = cfg.opt.lambda_dssim
+    K = np.array([[focal_x, 0, static.width / 2],
+                  [0, focal_y, static.height / 2], [0, 0, 1.0]])
+    mask90 = cubemap_lib.fov90_square_mask(static.height, static.width,
+                                           focal_x, focal_y)
+    circ = cubemap_lib.circular_mask(static.height, static.width,
+                                     cfg.calib.mask_radius)
+    scale = int(cfg.calib.control_point_sample_scale)
+
+    @jax.jit
+    def step(state: CalibState, gt: jnp.ndarray, cam_idx: jnp.ndarray,
+             bg: jnp.ndarray, sub_q: jnp.ndarray, sub_t: jnp.ndarray):
+        """sub_q/sub_t: (4, 4)/(4, 3) — the up/down/left/right sub-camera
+        base poses for this camera (precomputed host-side)."""
+        b = state.base
+        cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
+        probe = jnp.zeros((m_aligned, 2), jnp.float32)
+
+        def loss_fn(g, cam, align, probe_inst, cub_net):
+            outs = []
+
+            def one_render(c, pr):
+                return render(g.xyz, g.scaling(), g.quats,
+                              g.opacity(b.alive), g.sh_coeffs(), c, static,
+                              rcfg, bg=bg, align=align, probe2d_inst=pr)
+
+            main = one_render(cam, probe_inst)
+            outs.append(main)
+            face_renders = [main.render]
+            for f in range(4):
+                sub_cam = dataclasses.replace(
+                    cam, q_init=sub_q[f], t_init=sub_t[f])
+                o = one_render(sub_cam, None)
+                outs.append(o)
+                face_renders.append(o.render)
+
+            faces = cubemap_lib.render_cubemap_faces(
+                lambda i: face_renders[i], cub_net, K, static.width,
+                static.height, scale, mask90)
+            half_masks = [jnp.ones_like(circ)] + [
+                cubemap_lib.mask_half(jnp.ones_like(circ), f)
+                for f in ("up", "down", "left", "right")]
+            l1_sum = 0.0
+            ssim_sum = 0.0
+            from .losses import l1_loss, ssim as ssim_fn
+            for img, hm in zip(faces, half_masks):
+                a = img * circ * hm
+                bb = gt * circ * hm
+                l1_sum = l1_sum + l1_loss(a, bb)
+                ssim_sum = ssim_sum + ssim_fn(a, bb)
+            loss = (1 - lam) * l1_sum + lam * (5.0 - ssim_sum)
+            return loss, (main, faces[0])
+
+        (loss, (main, face0)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+                b.g, cam_i, b.align, probe, state.cubemap_net)
+        g_grads, cam_grads, _, probe_grads, cub_grads = grads
+
+        updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
+        new_g = optax.apply_updates(b.g, updates)
+        new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
+                                            cam_idx, cfg.calib)
+
+        bad = jnp.any(jnp.array(
+            [jnp.any(~jnp.isfinite(l))
+             for l in jax.tree_util.tree_leaves(cub_grads)]))
+        cub_grads = jax.tree_util.tree_map(
+            lambda l: jnp.where(bad, jnp.zeros_like(l), l), cub_grads)
+        c_upd, cub_opt = txs["cubemap"].update(cub_grads, state.cubemap_opt,
+                                              state.cubemap_net)
+        new_cub = optax.apply_updates(state.cubemap_net, c_upd)
+
+        n = b.g.capacity
+        signed = jax.ops.segment_sum(probe_grads, main.gauss_id,
+                                     num_segments=n + 1)[:n]
+        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), main.gauss_id,
+                                   num_segments=n + 1)[:n]
+        stats = update_stats(b.stats, signed, abs_, main.radii,
+                             main.visibility)
+
+        new_base = dataclasses.replace(
+            b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
+            stats=stats, step=b.step + 1)
+        return dataclasses.replace(state, base=new_base, cubemap_net=new_cub,
+                                   cubemap_opt=cub_opt), (loss, face0)
+
+    return step

@@ -1,0 +1,148 @@
+"""Calibrated training modes: fisheye + cubemap steps, checkpoint roundtrip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bags_tpu.calib import distortion as dist_lib
+from bags_tpu.core.camera import CameraParams, CameraStatic
+from bags_tpu.model.gaussians import create_from_points
+from bags_tpu.raster import RenderConfig, render
+from bags_tpu.train import calibrated
+from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from bags_tpu.train.config import CalibConfig, OptimizationConfig, TrainConfig
+from bags_tpu.train.loop import init_train_state
+from bags_tpu.train.optim import make_gaussian_optimizer
+from bags_tpu.utils.testing import make_toy_scene
+
+
+def _mini_state(cfg, n_cams=2, n_pts=60, cap=128):
+    rng = np.random.default_rng(5)
+    sc = make_toy_scene(n=n_pts, width=48, height=48, sh_degree=0, seed=5)
+    pts = np.asarray(sc["xyz"]) + rng.normal(0, 0.05, (n_pts, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (n_pts, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, cap, sh_degree=0)
+    cams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.9, 0.9)
+          for _ in range(n_cams)])
+    state, g_tx, _ = init_train_state(g, alive, cams, cfg, 2.0)
+    return sc, state, g_tx
+
+
+def test_fisheye_train_step_runs_and_descends():
+    cfg = TrainConfig(
+        opt=OptimizationConfig(),
+        calib=CalibConfig(opt_cam=True, opt_distortion=True,
+                          iresnet_lr=1e-6),
+        max_instances=2 ** 13)
+    sc, base, g_tx = _mini_state(cfg)
+    calib_state, txs = calibrated.init_calib_state(base, cfg)
+    # shrink lens residuals so the initial field is ~identity
+    calib_state = dataclasses.replace(
+        calib_state,
+        lens=jax.tree_util.tree_map(lambda x: x * 1e-4, calib_state.lens))
+
+    setup = calibrated.make_fisheye_setup(
+        focal_x=40.0, focal_y=40.0, persp_wh=(48, 48), fish_wh=(48, 48),
+        control_point_sample_scale=8)
+    p_view = calibrated.fisheye_control_points(setup, 40.0, 40.0)
+
+    # fisheye GT = a distorted view of the clean scene rendered at setup FoV
+    static_r = setup.render_static
+    cam0 = CameraParams.create(np.eye(3, dtype=np.float32),
+                               np.zeros(3, np.float32),
+                               setup.fovx, setup.fovy)
+    gt = render(sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+                sc["sh_coeffs"], cam0, static_r,
+                RenderConfig(sh_degree=0, backend="jnp",
+                             max_instances=2 ** 13)).render
+    fish_gt = gt[:, :setup.fish_hw[0], :setup.fish_hw[1]]
+
+    # extended-FoV learnable fovs (reference reset_intrinsic semantics)
+    base2 = calib_state.base
+    cams = dataclasses.replace(
+        base2.cams,
+        fovx=jnp.full_like(base2.cams.fovx, setup.fovx),
+        fovy=jnp.full_like(base2.cams.fovy, setup.fovy))
+    calib_state = dataclasses.replace(
+        calib_state, base=dataclasses.replace(base2, cams=cams))
+
+    step = calibrated.make_fisheye_train_step(
+        setup, RenderConfig(sh_degree=0, backend="jnp",
+                            max_instances=2 ** 13),
+        cfg, g_tx, txs, sh_degree=0, opt_lens=True, use_vignetting=False)
+
+    losses = []
+    st = calib_state
+    bg = jnp.zeros(3)
+    for i in range(10):
+        st, (loss, img) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # lens net actually updated
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        st.lens, calib_state.lens)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_cubemap_train_step_runs():
+    cfg = TrainConfig(
+        opt=OptimizationConfig(),
+        calib=CalibConfig(opt_cam=False, cubemap=True, mask_radius=20,
+                          control_point_sample_scale=8, iresnet_lr=1e-7),
+        max_instances=2 ** 13)
+    sc, base, g_tx = _mini_state(cfg)
+    calib_state, txs = calibrated.init_calib_state(base, cfg)
+    calib_state = dataclasses.replace(
+        calib_state,
+        cubemap_net=jax.tree_util.tree_map(lambda x: x * 1e-4,
+                                           calib_state.cubemap_net))
+    static = CameraStatic(width=48, height=48)
+    subs = calibrated.build_sub_cameras(calib_state.base.cams)
+    sub_q = jnp.stack([s.q_init[0] for s in subs[:4]])
+    sub_t = jnp.stack([s.t_init[0] for s in subs[:4]])
+
+    step = calibrated.make_cubemap_train_step(
+        static, RenderConfig(sh_degree=0, backend="jnp",
+                             max_instances=2 ** 13),
+        cfg, g_tx, txs, sh_degree=0, focal_x=24.0, focal_y=24.0)
+    gt = jnp.full((3, 48, 48), 0.3)
+    st, (loss, face0) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
+                             sub_q, sub_t)
+    assert np.isfinite(float(loss))
+    assert face0.shape == (3, 48, 48)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainConfig(max_instances=2 ** 13)
+    _, state, _ = _mini_state(cfg)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+    # perturb, then restore into the perturbed template
+    state2 = dataclasses.replace(
+        state, g=jax.tree_util.tree_map(lambda x: x + 1.0, state.g))
+    restored = load_checkpoint(path, state2)
+    np.testing.assert_allclose(np.asarray(restored.g.xyz),
+                               np.asarray(state.g.xyz))
+    assert restored.g.xyz.dtype == state.g.xyz.dtype
+
+
+def test_build_sub_cameras_preserve_center():
+    cams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.array([0.1, -0.2, 0.3], np.float32),
+                              0.9, 0.9)])
+    subs = calibrated.build_sub_cameras(cams)
+    assert len(subs) == 5
+    from bags_tpu.core.camera import camera_center
+    c0 = camera_center(jax.tree_util.tree_map(lambda x: x[0], cams))
+    for s in subs:
+        cs = camera_center(jax.tree_util.tree_map(lambda x: x[0], s))
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(c0), atol=1e-5)

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Training CLI — the `train.py` entry point of the framework.
+
+Capability parity with `/root/reference/train.py:681-785`: the same flag
+surface (ModelParams/OptimizationParams/PipelineParams groups plus the
+calibration flags), canonical 30k-iteration training with densification,
+periodic held-out evaluation appended to `evaluation_results.txt`
+(training_report, train.py:496-674), PLY saves at --save_iterations, full
+checkpoints at --checkpoint_iterations, and resolved-config persistence
+(cfg_args -> cfg.json).
+
+Example (NeRF-Synthetic with pose noise, README.md:86-94):
+  python train.py -s data/lego --opt_cam --r_t_noise 0.15 0.15 \
+      --r_t_lr 0.002 0.002 --iterations 30000
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="bags_tpu training")
+    # ModelParams (arguments/__init__.py:47-65)
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", default="output/run")
+    p.add_argument("--images", "-i", default="images")
+    p.add_argument("--resolution", "-r", type=int, default=-1)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--cap_max", type=int, default=-1)
+    p.add_argument("--init_type", default="sfm")
+    # OptimizationParams (arguments/__init__.py:74-98)
+    p.add_argument("--iterations", type=int, default=30_000)
+    p.add_argument("--position_lr_init", type=float, default=0.00016)
+    p.add_argument("--position_lr_final", type=float, default=0.0000016)
+    p.add_argument("--feature_lr", type=float, default=0.0025)
+    p.add_argument("--opacity_lr", type=float, default=0.05)
+    p.add_argument("--scaling_lr", type=float, default=0.005)
+    p.add_argument("--rotation_lr", type=float, default=0.001)
+    p.add_argument("--percent_dense", type=float, default=0.01)
+    p.add_argument("--lambda_dssim", type=float, default=0.2)
+    p.add_argument("--densification_interval", type=int, default=100)
+    p.add_argument("--opacity_reset_interval", type=int, default=3000)
+    p.add_argument("--densify_from_iter", type=int, default=500)
+    p.add_argument("--densify_until_iter", type=int, default=15_000)
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    p.add_argument("--abs_densify_grad_threshold", type=float, default=0.0004)
+    # train.py:687-748 calibration / pose flags
+    p.add_argument("--opt_cam", action="store_true")
+    p.add_argument("--opt_intrinsic", action="store_true")
+    p.add_argument("--r_t_lr", nargs="+", type=float, default=[0.01, 0.01])
+    p.add_argument("--r_t_noise", nargs="+", type=float, default=[0.0, 0.0, 1.0])
+    p.add_argument("--global_alignment_lr", type=float, default=0.01)
+    p.add_argument("--opt_distortion", action="store_true")
+    p.add_argument("--outside_rasterizer", action="store_true")
+    p.add_argument("--apply2gt", action="store_true")
+    p.add_argument("--flow_scale", nargs="+", type=float, default=[1.0, 1.0])
+    p.add_argument("--render_resolution", type=float, default=1.0)
+    p.add_argument("--control_point_sample_scale", type=float, default=8.0)
+    p.add_argument("--iresnet_lr", type=float, default=1e-7)
+    p.add_argument("--iresnet_opt_duration", nargs="+", type=int,
+                   default=[0, 30000])
+    p.add_argument("--no_init_iresnet", action="store_true")
+    p.add_argument("--no_distortion_mask", action="store_true")
+    p.add_argument("--start_vignetting", type=int, default=10_000_000_000)
+    p.add_argument("--opt_shift", action="store_true")
+    p.add_argument("--cubemap", action="store_true")
+    p.add_argument("--mask_radius", type=int, default=512)
+    p.add_argument("--abs_grad", action="store_true")
+    p.add_argument("--opacity_threshold", type=float, default=0.005)
+    p.add_argument("--mcmc", action="store_true")
+    p.add_argument("--hybrid", action="store_true")
+    p.add_argument("--random_init_pc", action="store_true")
+    # cadence
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[7000, 30000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[7000, 30000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                   default=[7000, 15000, 30000])
+    p.add_argument("--start_checkpoint", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "jnp"])
+    p.add_argument("--max_instances", type=int, default=2 ** 20)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def args_to_config(args):
+    from bags_tpu.train.config import (CalibConfig, ModelConfig,
+                                       OptimizationConfig, TrainConfig)
+
+    return TrainConfig(
+        model=ModelConfig(
+            sh_degree=args.sh_degree, source_path=args.source_path,
+            model_path=args.model_path, images=args.images,
+            resolution=args.resolution,
+            white_background=args.white_background, eval=args.eval,
+            cap_max=args.cap_max, init_type=args.init_type),
+        opt=OptimizationConfig(
+            iterations=args.iterations,
+            position_lr_init=args.position_lr_init,
+            position_lr_final=args.position_lr_final,
+            feature_lr=args.feature_lr, opacity_lr=args.opacity_lr,
+            scaling_lr=args.scaling_lr, rotation_lr=args.rotation_lr,
+            percent_dense=args.percent_dense,
+            lambda_dssim=args.lambda_dssim,
+            densification_interval=args.densification_interval,
+            opacity_reset_interval=args.opacity_reset_interval,
+            densify_from_iter=args.densify_from_iter,
+            densify_until_iter=args.densify_until_iter,
+            densify_grad_threshold=args.densify_grad_threshold,
+            abs_densify_grad_threshold=args.abs_densify_grad_threshold),
+        calib=CalibConfig(
+            opt_cam=args.opt_cam, opt_intrinsic=args.opt_intrinsic,
+            r_t_lr=tuple(args.r_t_lr[:2]),
+            r_t_noise=tuple(args.r_t_noise),
+            global_alignment_lr=args.global_alignment_lr,
+            opt_distortion=args.opt_distortion,
+            outside_rasterizer=args.outside_rasterizer,
+            apply2gt=args.apply2gt, flow_scale=tuple(args.flow_scale),
+            render_resolution=args.render_resolution,
+            control_point_sample_scale=args.control_point_sample_scale,
+            iresnet_lr=args.iresnet_lr,
+            iresnet_opt_duration=tuple(args.iresnet_opt_duration),
+            no_init_iresnet=args.no_init_iresnet,
+            no_distortion_mask=args.no_distortion_mask,
+            start_vignetting=args.start_vignetting,
+            opt_shift=args.opt_shift, cubemap=args.cubemap,
+            mask_radius=args.mask_radius, hybrid=args.hybrid),
+        abs_grad=args.abs_grad, opacity_threshold=args.opacity_threshold,
+        mcmc=args.mcmc, random_init_pc=args.random_init_pc,
+        test_iterations=tuple(args.test_iterations),
+        save_iterations=tuple(args.save_iterations),
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        max_instances=args.max_instances, seed=args.seed,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.data import Scene
+    from bags_tpu.eval.metrics import psnr
+    from bags_tpu.eval.pose_eval import align_and_pose_error
+    from bags_tpu.model.gaussians import save_ply
+    from bags_tpu.raster import RenderConfig, render as render_fn
+    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from bags_tpu.train.loop import Trainer
+    from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
+
+    enable_persistent_cache()
+    os.makedirs(args.model_path, exist_ok=True)
+    with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    scene = Scene(args.source_path, eval_split=args.eval,
+                  resolution=args.resolution,
+                  r_t_noise=tuple(args.r_t_noise),
+                  white_background=args.white_background,
+                  capacity=(args.cap_max if args.cap_max > 0 else None),
+                  sh_degree=args.sh_degree, images_dir=args.images,
+                  init_type=("random" if args.random_init_pc
+                             else args.init_type))
+    print(f"scene: {scene.n_train} train / {scene.n_test} test cameras, "
+          f"extent {scene.cameras_extent:.3f}, "
+          f"capacity {scene.gaussians.capacity}, "
+          f"size {scene.static.width}x{scene.static.height}")
+
+    rcfg = RenderConfig(sh_degree=args.sh_degree, backend=args.backend,
+                        max_instances=args.max_instances)
+    trainer = Trainer(scene.gaussians, scene.alive, scene.train_cams,
+                      scene.static, cfg, scene_extent=scene.cameras_extent,
+                      gt_images=scene.train_image, rcfg=rcfg, seed=args.seed)
+    if args.start_checkpoint:
+        trainer.state = load_checkpoint(args.start_checkpoint, trainer.state)
+
+    if jax.default_backend() == "tpu":
+        warm_ssim_grad()
+
+    eval_file = os.path.join(args.model_path, "evaluation_results.txt")
+
+    def evaluate(it):
+        eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
+                                backend=args.backend,
+                                max_instances=args.max_instances)
+        g = trainer.state.g
+        alive = trainer.state.alive
+        vals = []
+        for i in range(scene.n_test):
+            cam = jax.tree_util.tree_map(lambda x: x[i], scene.test_cams)
+            out = render_fn(g.xyz, g.scaling(), g.quats, g.opacity(alive),
+                            g.sh_coeffs(), cam, scene.static, eval_cfg,
+                            bg=trainer.bg)
+            img = jnp.clip(out.render, 0.0, 1.0)
+            vals.append(float(psnr(img, scene.test_image(i))))
+        mean_psnr = float(np.mean(vals))
+        line = f"iteration {it}: test PSNR {mean_psnr:.3f} over {len(vals)} views"
+        if args.opt_cam:
+            _, err = align_and_pose_error(trainer.state.cams,
+                                          scene.train_cams_clean)
+            line += (f"; pose rot {err['rotation_deg_mean']:.4f} deg, "
+                     f"trans {err['translation_mean']:.5f}")
+        print(line)
+        with open(eval_file, "a") as f:
+            f.write(line + "\n")
+
+    def callback(it, state, metrics):
+        if not args.quiet and it % 200 == 0:
+            print(f"iter {it}: loss {float(metrics.loss):.5f}, "
+                  f"alive {int(metrics.n_alive)}", flush=True)
+        if it in cfg.test_iterations:
+            evaluate(it)
+        if it in cfg.save_iterations:
+            ply_dir = os.path.join(args.model_path, "point_cloud",
+                                   f"iteration_{it}")
+            os.makedirs(ply_dir, exist_ok=True)
+            save_ply(os.path.join(ply_dir, "point_cloud.ply"),
+                     state.g, np.asarray(state.alive))
+        if it in cfg.checkpoint_iterations:
+            save_checkpoint(os.path.join(args.model_path, f"chkpnt{it}.npz"),
+                            state)
+
+    trainer.run(iterations=args.iterations, callback=callback)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
