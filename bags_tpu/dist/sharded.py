@@ -88,22 +88,23 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         n = full.mean2d.shape[0]
         gid = jnp.minimum(bins.gauss_id, n - 1)
         inst_valid = bins.gauss_id < n
-        mean2d_s = jnp.take(local_mean2d, gid, axis=0) + probe_inst
-        conic_s = jnp.take(full.conic, gid, axis=0)
-        color_s = jnp.take(full.color, gid, axis=0)
-        opacity_s = jnp.where(inst_valid, jnp.take(full.opacity, gid, axis=0),
-                              0.0)
+        table = jnp.concatenate(
+            [local_mean2d, full.conic, full.color, full.opacity[:, None],
+             jnp.zeros((n, 3), local_mean2d.dtype)], axis=1)
+        rows = jnp.take(table, gid, axis=0)
+        rows = rows * inst_valid[:, None].astype(rows.dtype)
+        rows = rows + jnp.pad(probe_inst, ((0, 0), (0, 10)))
 
         # 4. composite local tiles
         if rcfg.backend == "pallas" or (
                 rcfg.backend == "auto" and jax.default_backend() == "tpu"):
             from ..raster.pallas_raster import composite_tiles_pallas
             tile_img = composite_tiles_pallas(
-                mean2d_s, conic_s, color_s, opacity_s,
-                bins.tile_start, bins.tile_count, tiles_x, tiles_y_local, bg)
+                rows, bins.tile_start, bins.tile_count, tiles_x,
+                tiles_y_local, bg)
         else:
             tile_img = tiles.composite_tiles_jnp(
-                mean2d_s, conic_s, color_s, opacity_s,
+                rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
                 bins.tile_start, bins.tile_count, tiles_x, tiles_y_local, bg,
                 max_per_tile=rcfg.max_per_tile)
 
@@ -137,7 +138,7 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                            inst_valid=P(axis)))
 
     fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
 
     def loss_fn(g: Gaussians, alive, cam: CameraParams,
                 align: GlobalAlignment, probe_inst, gt, bg):

@@ -278,16 +278,13 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 # Host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pack(mean2d, conic, color, opacity):
-    m = mean2d.shape[0]
+def _pack(rows):
+    """(M, >=9) instance rows [mx,my,ca,cb,cc,r,g,b,o,...] -> feature-major
+    (NROWS, M_pad) packets for chunked DMA."""
+    m = rows.shape[0]
     m_pad = -(-m // K) * K  # aligned segments already bound all chunk reads
-    pk = jnp.zeros((NROWS, m_pad), jnp.float32)
-    rows = jnp.stack([
-        mean2d[:, 0], mean2d[:, 1],
-        conic[:, 0], conic[:, 1], conic[:, 2],
-        color[:, 0], color[:, 1], color[:, 2],
-        opacity], axis=0).astype(jnp.float32)
-    return pk.at[:9, :m].set(rows)
+    pk = jnp.transpose(rows[:, :9]).astype(jnp.float32)
+    return jnp.pad(pk, ((0, NROWS - 9), (0, m_pad - m)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -386,11 +383,11 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
-def composite_tiles_pallas(mean2d_s, conic_s, color_s, opacity_s,
-                           tile_start, tile_count, tiles_x, tiles_y,
+def composite_tiles_pallas(rows, tile_start, tile_count, tiles_x, tiles_y,
                            bg) -> TileImage:
-    """Drop-in replacement for `tiles.composite_tiles_jnp` using Pallas."""
-    packed = _pack(mean2d_s, conic_s, color_s, opacity_s)
+    """Pallas compositor over packed instance rows (M, >=9):
+    [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity]."""
+    packed = _pack(rows)
     color, t_final = _composite_core(packed, tile_start, tile_count,
                                      tiles_x, tiles_y)
     color = jnp.transpose(color, (0, 2, 1))            # (T, NPIX, 3)

@@ -115,27 +115,29 @@ def render(
         dataclasses.replace(proj, mean2d=jax.lax.stop_gradient(mean2d)),
         tiles_x, tiles_y, cfg.max_instances, sort_key_depth=sort_key)
 
-    # Differentiable gather into sorted instance order. Out-of-range ids
-    # (== N) clip to the last element but are masked by opacity 0 below.
+    # Differentiable gather into sorted instance order: ONE row gather from
+    # a packed (N, 12) table — separate per-field gathers cost ~20x more on
+    # TPU, and the VJP becomes a single fused scatter-add. Out-of-range ids
+    # (== N) clip to the last row and are zeroed by the validity mask.
     n = xyz.shape[0]
     gid = jnp.minimum(bins.gauss_id, n - 1)
     inst_valid = bins.gauss_id < n
-    mean2d_s = jnp.take(mean2d, gid, axis=0)
+    table = jnp.concatenate(
+        [mean2d, proj.conic, proj.color, proj.opacity[:, None],
+         jnp.zeros((n, 3), mean2d.dtype)], axis=1)          # (N, 12)
+    rows = jnp.take(table, gid, axis=0)
+    rows = rows * inst_valid[:, None].astype(rows.dtype)
     if probe2d_inst is not None:
-        mean2d_s = mean2d_s + probe2d_inst
-    conic_s = jnp.take(proj.conic, gid, axis=0)
-    color_s = jnp.take(proj.color, gid, axis=0)
-    opacity_s = jnp.where(inst_valid, jnp.take(proj.opacity, gid, axis=0), 0.0)
+        rows = rows + jnp.pad(probe2d_inst, ((0, 0), (0, 10)))
 
     backend = _composite_backend(cfg)
     if backend == "pallas":
         from .pallas_raster import composite_tiles_pallas
         tile_img = composite_tiles_pallas(
-            mean2d_s, conic_s, color_s, opacity_s,
-            bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg)
+            rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg)
     else:
         tile_img = tiles.composite_tiles_jnp(
-            mean2d_s, conic_s, color_s, opacity_s,
+            rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
             bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg,
             max_per_tile=cfg.max_per_tile)
 
