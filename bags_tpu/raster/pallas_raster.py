@@ -132,14 +132,18 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
     def _():
         dma(0, 0).start()
 
-    def body(i, carry):
-        acc, t_run, done = carry
+    # Early termination: stop streaming chunks once every pixel in the tile
+    # has saturated (done == 1 everywhere) — the chunked analogue of the
+    # CUDA rasterizer's per-pixel transmittance early-out. The next chunk's
+    # DMA is only started when the loop will continue, so no semaphore is
+    # left signaled on early exit.
+    def cond(carry):
+        i, acc, t_run, done = carry
+        return (i < n_chunks) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        i, acc, t_run, done = carry
         slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < n_chunks)
-        def _():
-            dma(1 - slot, i + 1).start()
-
         dma(slot, i).wait()
         chunk = scratch[slot]
         offs = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
@@ -149,12 +153,17 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
         acc = acc + jax.lax.dot_general(
             color, f["w"], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return acc, f["t_run"], f["done"]
+
+        @pl.when((i + 1 < n_chunks) & (jnp.min(f["done"]) < 0.5))
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        return i + 1, acc, f["t_run"], f["done"]
 
     acc0 = jnp.zeros((3, NPIX), jnp.float32)
     t0 = jnp.ones((1, NPIX), jnp.float32)
     d0 = jnp.zeros((1, NPIX), jnp.float32)
-    acc, t_run, _ = jax.lax.fori_loop(0, n_chunks, body, (acc0, t0, d0))
+    _, acc, t_run, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0, t0, d0))
     out_color[0] = acc
     out_t[0] = t_run
 

@@ -200,6 +200,50 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
     return train_step
 
 
+def make_mcmc_step(cfg: TrainConfig, cap_max: int | None):
+    """Jitted MCMC relocation step (`--mcmc`, train.py:363-372): relocate
+    dead Gaussians, grow toward cap_max, zero touched Adam moments."""
+    from ..model import mcmc
+
+    @jax.jit
+    def mcmc_step(state: TrainState):
+        key, k1, k2 = jax.random.split(state.key, 3)
+        r1 = mcmc.relocate_dead(state.g, state.alive, k1,
+                                min_opacity=cfg.opacity_threshold)
+        r2 = mcmc.add_new_gaussians(r1.gaussians, r1.alive, k2,
+                                    cap_max=cap_max)
+        g_opt = zero_moments_at(state.g_opt, r1.reset_mask | r2.reset_mask)
+        return dataclasses.replace(
+            state, g=r2.gaussians, alive=r2.alive, g_opt=g_opt, key=key), \
+            (r1.n_relocated, r2.n_relocated)
+
+    return mcmc_step
+
+
+def make_mcmc_noise_step(cfg: TrainConfig, spatial_lr_scale: float):
+    """Jitted SGLD position-noise step (train.py:434-441), applied after
+    each optimizer update when --mcmc."""
+    from ..model import mcmc
+    from .optim import expon_lr_schedule
+
+    xyz_sched = expon_lr_schedule(
+        cfg.opt.position_lr_init * spatial_lr_scale,
+        cfg.opt.position_lr_final * spatial_lr_scale,
+        cfg.opt.position_lr_max_steps,
+        lr_delay_mult=cfg.opt.position_lr_delay_mult)
+
+    @jax.jit
+    def noise_step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        xyz = mcmc.position_noise(state.g, state.alive, sub,
+                                  xyz_lr=xyz_sched(state.step),
+                                  noise_lr=cfg.opt.noise_lr)
+        return dataclasses.replace(
+            state, g=dataclasses.replace(state.g, xyz=xyz), key=key)
+
+    return noise_step
+
+
 def make_densify_step(cfg: TrainConfig, scene_extent: float):
     """Jitted densify+prune, including Adam-moment zeroing and stat reset."""
 
@@ -286,6 +330,10 @@ class Trainer:
             g, alive, cams, cfg, scene_extent, seed)
         self._steps = {}
         self.densify_step = make_densify_step(cfg, scene_extent)
+        if cfg.mcmc:
+            cap = cfg.model.cap_max if cfg.model.cap_max > 0 else None
+            self.mcmc_step = make_mcmc_step(cfg, cap)
+            self.mcmc_noise_step = make_mcmc_noise_step(cfg, scene_extent)
         self.active_sh_degree = 0
         self.max_sh_degree = cfg.model.sh_degree
         self._rng = np.random.default_rng(seed)
@@ -320,8 +368,15 @@ class Trainer:
             self.state, metrics = self._train_step_fn()(
                 self.state, gt, jnp.asarray(idx), self.bg)
 
-            # Densification cadence (train.py:374-389).
-            if it < opt.densify_until_iter:
+            if self.cfg.mcmc:
+                # MCMC cadence (train.py:363-372,434-441): relocation at the
+                # densify interval, SGLD position noise every step.
+                if opt.densify_from_iter < it < opt.densify_until_iter and \
+                        it % opt.densification_interval == 0:
+                    self.state, _ = self.mcmc_step(self.state)
+                self.state = self.mcmc_noise_step(self.state)
+            elif it < opt.densify_until_iter:
+                # Densification cadence (train.py:374-389).
                 if it > opt.densify_from_iter and \
                         it % opt.densification_interval == 0:
                     max_screen = 20.0 if it > opt.opacity_reset_interval else 0.0
