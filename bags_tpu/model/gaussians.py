@@ -119,19 +119,20 @@ def mean_sq_dist_knn3(points: np.ndarray) -> np.ndarray:
     replacement for the `simple-knn` CUDA extension (`distCUDA2`,
     gaussian_model.py:20,177). Host-side, init-time only.
 
-    Uses the native C++ grid-knn extension when built (native/knn.cpp),
-    otherwise scipy's cKDTree, otherwise blocked numpy.
+    Prefers scipy's cKDTree (fastest on skewed SfM distributions); falls
+    back to the native C++ grid-knn extension (native/knn.cpp, exact,
+    dependency-free), then blocked numpy.
     """
-    try:
-        from ..utils import native_knn
-        return native_knn.mean_sq_dist_knn3(points)
-    except Exception:
-        pass
     try:
         from scipy.spatial import cKDTree
         tree = cKDTree(points)
         d, _ = tree.query(points, k=4)  # self + 3 neighbors
         return (d[:, 1:] ** 2).mean(axis=1).astype(np.float32)
+    except ImportError:
+        pass
+    try:
+        from ..utils import native_knn
+        return native_knn.mean_sq_dist_knn3(points)
     except Exception:
         n = points.shape[0]
         out = np.empty(n, np.float32)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Trajectory-rendering CLI — novel-view video frames from a trained model.
+
+Capability parity with the reference's `render_trajectory/` script family
+(~10 scripts, SURVEY.md §2.1): spiral / orbit / sequential-interpolated
+camera paths rendered to numbered PNG frames (assemble with ffmpeg or any
+tool; an animated GIF is written when --gif is set).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--iteration", type=int, default=-1)
+    p.add_argument("--mode", choices=["spiral", "orbit", "sequential"],
+                   default="spiral")
+    p.add_argument("--n_frames", type=int, default=120)
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--max_instances", type=int, default=2 ** 20)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--gif", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.core.camera import pose_w2c
+    from bags_tpu.data import Scene
+    from bags_tpu.eval import trajectory
+    from bags_tpu.model.gaussians import load_ply
+    from bags_tpu.raster import RenderConfig, render
+    from bags_tpu.train.checkpoint import find_max_iteration
+
+    it = args.iteration
+    if it == -1:
+        it = find_max_iteration(os.path.join(args.model_path, "point_cloud"))
+    g, alive = load_ply(os.path.join(args.model_path, "point_cloud",
+                                     f"iteration_{it}", "point_cloud.ply"))
+    scene = Scene(args.source_path, white_background=args.white_background,
+                  sh_degree=args.sh_degree)
+
+    R, t = pose_w2c(scene.train_cams)
+    R, t = np.asarray(R), np.asarray(t)
+    c2ws = np.zeros((len(R), 4, 4))
+    c2ws[:, :3, :3] = np.transpose(R, (0, 2, 1))
+    c2ws[:, :3, 3] = -np.einsum("nji,nj->ni", R, t)
+    c2ws[:, 3, 3] = 1.0
+
+    if args.mode == "spiral":
+        path = trajectory.spiral_path(c2ws, n_frames=args.n_frames)
+    elif args.mode == "orbit":
+        center = c2ws[:, :3, 3].mean(axis=0)
+        rad = np.linalg.norm(c2ws[:, :3, 3] - center, axis=1).mean()
+        path = trajectory.orbit_path(center, rad, 0.0, args.n_frames)
+    else:
+        path = trajectory.interpolate_path(
+            scene.train_cams, max(args.n_frames // max(scene.n_train - 1, 1), 1))
+
+    fovx = float(scene.train_cams.fovx[0])
+    fovy = float(scene.train_cams.fovy[0])
+    cams = trajectory.path_to_cameras(path, fovx, fovy)
+    cfg = RenderConfig(sh_degree=args.sh_degree, backend=args.backend,
+                       max_instances=args.max_instances)
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+
+    out_dir = args.out or os.path.join(args.model_path,
+                                       f"trajectory_{args.mode}_{it}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def render_one(cam):
+        return render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
+                      g.sh_coeffs(), cam, scene.static, cfg, bg=bg).render
+
+    from PIL import Image
+    frames = []
+    n = int(cams.fovx.shape[0])
+    for i in range(n):
+        cam = jax.tree_util.tree_map(lambda x: x[i], cams)
+        img = np.clip(np.asarray(render_one(cam)), 0, 1)
+        arr = (img * 255).astype(np.uint8).transpose(1, 2, 0)
+        Image.fromarray(arr).save(os.path.join(out_dir, f"{i:05d}.png"))
+        if args.gif:
+            frames.append(Image.fromarray(arr))
+    if args.gif and frames:
+        frames[0].save(os.path.join(out_dir, "trajectory.gif"),
+                       save_all=True, append_images=frames[1:],
+                       duration=50, loop=0)
+    print(f"wrote {n} frames to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,17 @@ def test_full_densify_and_prune(rng):
         max_screen_size=0.0)
     assert int(jnp.sum(res.alive)) > 20  # population grew
     assert bool(jnp.any(res.reset_mask))
+
+
+def test_native_knn_matches_scipy(rng):
+    import pytest
+    try:
+        from bags_tpu.utils import native_knn
+        pts = rng.normal(size=(3000, 3)).astype(np.float32)
+        got = native_knn.mean_sq_dist_knn3(pts)
+    except Exception as e:  # g++ unavailable etc.
+        pytest.skip(f"native knn unavailable: {e}")
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(pts).query(pts, k=4)
+    want = (d[:, 1:] ** 2).mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -1,0 +1,109 @@
+"""Aux tooling: network GUI protocol, trajectories, pose plots."""
+
+import json
+import os
+import socket
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bags_tpu.core.camera import CameraParams
+from bags_tpu.eval import trajectory, vis
+from bags_tpu.eval.network_gui import NetworkGUI, request_to_camera
+
+
+def test_network_gui_roundtrip():
+    gui = NetworkGUI(port=0)
+    port = gui.listener.getsockname()[1]
+
+    view = np.eye(4)
+    view[3, :3] = [0.1, 0.2, 0.3]  # transposed-convention translation row
+    msg = dict(resolution_x=32, resolution_y=24, train=True, fov_y=0.8,
+               fov_x=0.9, z_near=0.01, z_far=100.0, shs_python=False,
+               rot_scale_python=False, keep_alive=True, scaling_modifier=1.0,
+               view_matrix=view.flatten().tolist(),
+               view_projection_matrix=np.eye(4).flatten().tolist())
+
+    received = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little"))
+        s.sendall(payload)
+        img = b""
+        want = 32 * 24 * 3
+        while len(img) < want:
+            img += s.recv(want - len(img))
+        vlen = int.from_bytes(s.recv(4), "little")
+        received["verify"] = s.recv(vlen).decode()
+        received["img_len"] = len(img)
+        # ask to continue training
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    rendered = {}
+
+    def render_fn(req):
+        cam, static = request_to_camera(req)
+        rendered["static"] = static
+        return jnp.full((3, req["height"], req["width"]), 0.5)
+
+    import time
+    deadline = time.time() + 5
+    while "verify" not in received and time.time() < deadline:
+        gui.poll(render_fn, verify="test-scene", training_done=False)
+    t.join(timeout=5)
+    assert received.get("img_len") == 32 * 24 * 3
+    assert received.get("verify") == "test-scene"
+    assert rendered["static"].width == 32
+
+
+def _dummy_cams(n=6, radius=3.0):
+    cams = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        pos = np.array([radius * np.cos(ang), 0.0, radius * np.sin(ang)])
+        z = -pos / np.linalg.norm(pos)
+        c2w = trajectory.look_at_c2w(z, np.array([0.0, 1.0, 0.0]), pos)
+        R = c2w[:3, :3].T
+        t = -R @ pos
+        cams.append(CameraParams.create(R.astype(np.float32),
+                                        t.astype(np.float32), 0.8, 0.8))
+    return jax.tree_util.tree_map(lambda *x: jnp.stack(x), *cams)
+
+
+def test_spiral_path_orthonormal():
+    cams = _dummy_cams()
+    from bags_tpu.core.camera import pose_w2c
+    R, t = pose_w2c(cams)
+    c2ws = np.zeros((6, 4, 4))
+    c2ws[:, :3, :3] = np.transpose(np.asarray(R), (0, 2, 1))
+    c2ws[:, :3, 3] = -np.einsum("nji,nj->ni", np.asarray(R), np.asarray(t))
+    path = trajectory.spiral_path(c2ws, n_frames=24)
+    assert len(path) == 24
+    for R_, t_ in path:
+        np.testing.assert_allclose(R_ @ R_.T, np.eye(3), atol=1e-5)
+
+
+def test_orbit_and_interp_paths():
+    cams = _dummy_cams()
+    path = trajectory.orbit_path(np.zeros(3), 3.0, 0.5, 12)
+    assert len(path) == 12
+    interp = trajectory.interpolate_path(cams, 4)
+    assert len(interp) == 5 * 4 + 1
+    batched = trajectory.path_to_cameras(path, 0.8, 0.8)
+    assert batched.fovx.shape == (12,)
+
+
+def test_pose_plot_and_plotly(tmp_path):
+    cams = _dummy_cams()
+    png = str(tmp_path / "poses.png")
+    vis.plot_poses(cams, cams, path=png)
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
+    fig = vis.poses_to_plotly(cams, cams)
+    assert len(fig["data"]) == 2
+    assert len(fig["data"][0]["x"]) > 0
