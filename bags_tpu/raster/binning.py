@@ -96,14 +96,23 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
                                             tiles_x, tiles_y)
     ny = jnp.where(nx > 0, ntiles // jnp.maximum(nx, 1), 0)
 
-    cum = jnp.cumsum(ntiles)  # inclusive
+    cum_all = jnp.cumsum(ntiles)  # inclusive, over every instance
+    n_dropped = jnp.maximum(cum_all[-1] - max_instances, 0)
+    # Capacity overflow drops WHOLE Gaussians (those whose segment would
+    # cross the budget) so that the corner-derived per-tile counts, the
+    # expansion, and the aligned layout all stay mutually consistent —
+    # a partial truncation would shift every later tile's segment.
+    kept = cum_all <= max_instances
+    ntiles = jnp.where(kept, ntiles, 0)
+    nx = jnp.where(kept, nx, 1)
+    ny = jnp.where(kept, ny, 0)
+    cum = jnp.cumsum(ntiles)
     total = cum[-1]
-    n_dropped = jnp.maximum(total - max_instances, 0)
     offsets = cum - ntiles    # exclusive segment starts
 
     # --- per-tile counts from rect corners (2D difference + cumsum) ---------
     grid = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.int32)
-    one = jnp.ones_like(x0)
+    one = (ntiles > 0).astype(jnp.int32)  # dead/dropped Gaussians contribute 0
     grid = grid.at[y0, x0].add(one, mode="drop")
     grid = grid.at[y0, x0 + nx].add(-one, mode="drop")
     grid = grid.at[y0 + ny, x0].add(-one, mode="drop")

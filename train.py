@@ -90,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "jnp"])
     p.add_argument("--max_instances", type=int, default=2 ** 20)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--preset", default=None,
+                   help="named hyperparameter preset (see train/presets.py)")
     return p
 
 
@@ -145,6 +147,9 @@ def args_to_config(args):
 
 
 def main(argv=None):
+    from bags_tpu.train.presets import apply_preset
+
+    argv = apply_preset(list(argv if argv is not None else sys.argv[1:]))
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
 
