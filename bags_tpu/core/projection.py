@@ -81,7 +81,24 @@ def project_gaussians(
     Gradients flow to every input, including `cam` (pose + FoV): this is the
     bundle-adjustment path (reference: CUDA backward returning
     ∂L/∂viewmatrix/∂projmatrix/∂campos, SURVEY.md §2.3).
+
+    Precision note: TPU's default matmul mode evaluates f32 contractions in
+    bf16 passes, which degrades the pose-gradient chain to ~1-10% relative
+    error. These (N,3)x(3,3)-class matmuls are trivial FLOPs, so the whole
+    projection runs under full-f32 matmul precision (verified to bring TPU
+    pose grads to ~1e-4 of a float64 oracle).
     """
+    with jax.default_matmul_precision("float32"):
+        return _project_gaussians_impl(
+            xyz, scales, quats, opacity, sh_coeffs, cam, static, sh_degree,
+            align, scale_modifier, extra_color, shift_factors, cov3d_precomp)
+
+
+def _project_gaussians_impl(
+    xyz, scales, quats, opacity, sh_coeffs, cam, static, sh_degree,
+    align=None, scale_modifier=1.0, extra_color=None, shift_factors=None,
+    cov3d_precomp=None,
+) -> Projected:
     R_w2c, t_w2c = pose_w2c(cam, align)
 
     # --- view space -------------------------------------------------------

@@ -9,6 +9,7 @@ active-degree variant compiles once.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -84,7 +85,10 @@ def eval_sh(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarr
     """
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # (..., k)
-    return jnp.einsum("...ck,...k->...c", sh_coeffs[..., :k], basis)
+    # full-f32 contraction: the view direction (hence the basis) carries
+    # pose gradients; TPU's default bf16 matmul passes would truncate them
+    return jnp.einsum("...ck,...k->...c", sh_coeffs[..., :k], basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sh_to_rgb(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:

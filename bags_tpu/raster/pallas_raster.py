@@ -58,7 +58,8 @@ def _tri_matmul(strict_lower: bool, x: jnp.ndarray) -> jnp.ndarray:
     tri = (col < row) if strict_lower else (col <= row)
     return jax.lax.dot_general(
         tri.astype(jnp.float32), x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _chunk_forward(chunk, px, py, t_run, done, valid):
@@ -152,7 +153,8 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
         color = jnp.stack([chunk[R_R, :], chunk[R_G, :], chunk[R_B, :]])  # (3, K)
         acc = acc + jax.lax.dot_general(
             color, f["w"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         @pl.when((i + 1 < n_chunks) & (jnp.min(f["done"]) < 0.5))
         def _():
@@ -257,7 +259,8 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         d_my = jnp.sum(-d_dy, axis=1)
         d_col = jax.lax.dot_general(                       # (3, K)
             g, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         zeros = jnp.zeros((NROWS - 9, K), jnp.float32)
         dchunk = jnp.concatenate([

@@ -105,7 +105,8 @@ def composite_tiles_jnp(
         t_before_inc = t_run[:, None, :] * jnp.concatenate(
             [jnp.ones_like(cp_inc[:, :1]), cp_inc[:, :-1]], axis=1)
         w = a_inc * t_before_inc                                # (T, K, NPIX)
-        acc = acc + jnp.einsum("tkp,tkc->tpc", w, cl)
+        acc = acc + jnp.einsum("tkp,tkc->tpc", w, cl,
+                       precision=jax.lax.Precision.HIGHEST)
         t_run = t_run * cp_inc[:, -1, :]
         done = done | jnp.any(kill, axis=1)
         return (acc, t_run, done), None

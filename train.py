@@ -195,6 +195,8 @@ def main(argv=None):
     if jax.default_backend() == "tpu":
         warm_ssim_grad()
 
+    from bags_tpu.utils.logging import MetricsLogger
+    logger = MetricsLogger(args.model_path)
     eval_file = os.path.join(args.model_path, "evaluation_results.txt")
 
     def evaluate(it):
@@ -223,6 +225,9 @@ def main(argv=None):
             f.write(line + "\n")
 
     def callback(it, state, metrics):
+        if it % 10 == 0:
+            logger.log(it, loss=metrics.loss, l1=metrics.l1,
+                       n_alive=metrics.n_alive, n_dropped=metrics.n_dropped)
         if not args.quiet and it % 200 == 0:
             print(f"iter {it}: loss {float(metrics.loss):.5f}, "
                   f"alive {int(metrics.n_alive)}", flush=True)
