@@ -51,15 +51,35 @@ def _interpret() -> bool:
     return os.environ.get("BAGS_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
-def _tri_matmul(strict_lower: bool, x: jnp.ndarray) -> jnp.ndarray:
-    """Prefix-sum along axis 0 of (K, NPIX) via a triangular-ones matmul."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    tri = (col < row) if strict_lower else (col <= row)
-    return jax.lax.dot_general(
-        tri.astype(jnp.float32), x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+def _prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
+    """Prefix sum along axis 0 of (K, NPIX) — Hillis-Steele scan built from
+    `pltpu.roll` shift-adds. Exact in f32 (unlike a triangular matmul, whose
+    bf16 MXU passes or 6-pass HIGHEST mode cost precision or throughput;
+    Mosaic has no cumsum lowering)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    s = 1
+    while s < K:
+        shifted = pltpu.roll(x, shift=s, axis=0)
+        x = x + jnp.where(rows >= s, shifted, 0.0)
+        s *= 2
+    if exclusive:
+        shifted = pltpu.roll(x, shift=1, axis=0)
+        x = jnp.where(rows >= 1, shifted, 0.0)
+    return x
+
+
+def _prefix_or(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
+    """Running logical-or (as float 0/1) along axis 0 via the same scan."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    s = 1
+    while s < K:
+        shifted = pltpu.roll(x, shift=s, axis=0)
+        x = jnp.maximum(x, jnp.where(rows >= s, shifted, 0.0))
+        s *= 2
+    if exclusive:
+        shifted = pltpu.roll(x, shift=1, axis=0)
+        x = jnp.where(rows >= 1, shifted, 0.0)
+    return x
 
 
 def _chunk_forward(chunk, px, py, t_run, done, valid):
@@ -82,17 +102,17 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     a = jnp.where(ok, alpha, 0.0)
 
     log_om = jnp.log1p(-a)
-    # Exclusive within-chunk log-transmittance (strictly-lower triangular).
-    log_cum_excl = _tri_matmul(True, log_om)
+    # Exclusive within-chunk log-transmittance.
+    log_cum_excl = _prefix_sum(log_om, exclusive=True)
     t_before = t_run * jnp.exp(log_cum_excl)
     kill = (a > 0.0) & (t_before * (1.0 - a) < T_EPS)
     kill_f = kill.astype(jnp.float32)
-    killed_before = _tri_matmul(True, kill_f) > 0.0
+    killed_before = _prefix_or(kill_f, exclusive=True) > 0.0
     include = (a > 0.0) & ~killed_before & ~(done > 0.0)
 
     a_inc = jnp.where(include, a, 0.0)
     log_om_inc = jnp.log1p(-a_inc)
-    t_before_inc = t_run * jnp.exp(_tri_matmul(True, log_om_inc))
+    t_before_inc = t_run * jnp.exp(_prefix_sum(log_om_inc, exclusive=True))
     w = a_inc * t_before_inc           # (K, NPIX)
     t_run_new = t_run * jnp.exp(jnp.sum(log_om_inc, axis=0, keepdims=True))
     done_new = jnp.maximum(done, jnp.max(kill_f, axis=0, keepdims=True))
@@ -228,7 +248,8 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         # Per-channel weighted colors and inclusive prefix within the chunk.
         cw = color[:, :, None] * w[None, :, :]            # (3, K, NPIX)
         prefix_in = jnp.stack(
-            [_tri_matmul(False, cw[c]) for c in range(3)]) + prefix[:, None, :]
+            [_prefix_sum(cw[c], exclusive=False) for c in range(3)]) \
+            + prefix[:, None, :]
         suffix = c_total[:, None, :] - prefix_in          # (3, K, NPIX)
 
         # dL/dalpha_i = sum_c g_c (T_i c_i - suffix_i/(1-a_i)) - g_T T_fin/(1-a_i)

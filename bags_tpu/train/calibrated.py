@@ -379,3 +379,118 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                                    cubemap_opt=cub_opt), (loss, face0)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration for calibrated modes
+# ---------------------------------------------------------------------------
+
+class CalibTrainer(Trainer):
+    """Trainer for `--outside_rasterizer` (fisheye) and `--cubemap` modes.
+
+    Wraps the base TrainState in a CalibState carrying the lens/cubemap
+    nets, vignetting, and shift parameters, and drives the calibrated train
+    steps while reusing the base class's densify/MCMC/opacity cadences and
+    camera sampling. Mirrors the reference's extra setup (train.py:103-178):
+    iResNet pre-initialization from COLMAP coefficients, extended-FoV camera
+    intrinsics, cubemap sub-cameras, and the lens-optimization window
+    (`--iresnet_opt_duration`).
+    """
+
+    def __init__(self, g, alive, cams, static, cfg, scene_extent, gt_images,
+                 focal_x, focal_y, persp_wh, fish_wh=None, source_path="",
+                 bg=None, rcfg=None, seed: int = 0, fish_images=None):
+        calib = cfg.calib
+        self.mode = "cubemap" if calib.cubemap else "fisheye"
+        self.focal = (float(focal_x), float(focal_y))
+        fish_wh = fish_wh or persp_wh
+
+        if self.mode == "fisheye":
+            self.setup = make_fisheye_setup(
+                focal_x, focal_y, persp_wh, fish_wh,
+                flow_scale=calib.flow_scale,
+                render_resolution=calib.render_resolution,
+                control_point_sample_scale=int(calib.control_point_sample_scale),
+                apply2gt=calib.apply2gt)
+            static = self.setup.render_static
+            # extended-FoV learnable intrinsics (cameras.py:117-175)
+            cams = dataclasses.replace(
+                cams,
+                fovx=jnp.full_like(cams.fovx, self.setup.fovx),
+                fovy=jnp.full_like(cams.fovy, self.setup.fovy))
+            self.p_view = fisheye_control_points(
+                self.setup, focal_x, focal_y, calib.flow_scale)
+        super().__init__(g, alive, cams, static, cfg, scene_extent,
+                         gt_images, bg=bg, rcfg=rcfg, seed=seed)
+        self.fish_images = fish_images or gt_images
+
+        calib_state, self.txs = init_calib_state(self.state, cfg, seed)
+        self.state = calib_state
+
+        if self.mode == "fisheye" and calib.opt_distortion \
+                and not calib.no_init_iresnet:
+            from ..calib.distortion import (init_iresnet_from_colmap,
+                                            read_colmap_coeff)
+            coeff = read_colmap_coeff(source_path) if source_path \
+                else [0.0, 0.0, 0.0, 0.0]
+            K = np.array([[focal_x, 0, fish_wh[0] / 2],
+                          [0, focal_y, fish_wh[1] / 2], [0, 0, 1.0]])
+            print(f"pre-fitting lens net to coeff {coeff} ...", flush=True)
+            lens = init_iresnet_from_colmap(
+                self.state.lens, K, fish_wh[0], fish_wh[1], coeff)
+            self.state = dataclasses.replace(self.state, lens=lens)
+        elif self.mode == "cubemap" and not calib.no_init_iresnet:
+            from ..calib.distortion import (init_cubemap_net,
+                                            read_colmap_coeff)
+            coeff = read_colmap_coeff(source_path) if source_path \
+                else [0.0, 0.0, 0.0, 0.0]
+            cub = init_cubemap_net(self.state.cubemap_net, coeff)
+            self.state = dataclasses.replace(self.state, cubemap_net=cub)
+
+        if self.mode == "cubemap":
+            subs = build_sub_cameras(self.state.base.cams)
+            self.sub_q = jnp.stack([s.q_init for s in subs[:4]], axis=1)
+            self.sub_t = jnp.stack([s.t_init for s in subs[:4]], axis=1)
+
+    def _train_step_fn(self):
+        raise RuntimeError("CalibTrainer uses _calib_step_fn")
+
+    def _calib_step_fn(self, it: int):
+        calib = self.cfg.calib
+        opt_lens = (calib.opt_distortion
+                    and calib.iresnet_opt_duration[0] <= it
+                    < calib.iresnet_opt_duration[1]
+                    and it >= calib.start_opt_lens)
+        use_vig = it > calib.start_vignetting
+        key = (self.active_sh_degree, self.mode, opt_lens, use_vig)
+        if key not in self._steps:
+            if self.mode == "fisheye":
+                self._steps[key] = make_fisheye_train_step(
+                    self.setup, self.rcfg, self.cfg, self.g_tx, self.txs,
+                    self.active_sh_degree, opt_lens, use_vig)
+            else:
+                self._steps[key] = make_cubemap_train_step(
+                    self.static, self.rcfg, self.cfg, self.g_tx, self.txs,
+                    self.active_sh_degree, *self.focal)
+        return self._steps[key]
+
+    def _invoke_step(self, it, idx, gt):
+        from .loop import StepMetrics
+
+        step = self._calib_step_fn(it)
+        if self.mode == "fisheye":
+            gt_img = self.fish_images(idx) if callable(self.fish_images) \
+                else self.fish_images[idx]
+            self.state, (loss, _) = step(self.state, gt_img, self.p_view,
+                                         jnp.asarray(idx), self.bg)
+        else:
+            self.state, (loss, _) = step(self.state, gt, jnp.asarray(idx),
+                                         self.bg, self.sub_q[idx],
+                                         self.sub_t[idx])
+        b = self.state.base
+        return StepMetrics(loss=loss, l1=loss,
+                           n_alive=jnp.sum(b.alive),
+                           n_dropped=jnp.zeros((), jnp.int32))
+
+    def _base_transform(self, fn):
+        self.state = dataclasses.replace(self.state, base=fn(self.state.base))

@@ -346,10 +346,22 @@ class Trainer:
                 self.static, self.rcfg, self.cfg, self.g_tx, self.align_tx, d)
         return self._steps[d]
 
+    # -- hooks subclasses (CalibTrainer) override -------------------------
+
+    def _invoke_step(self, it: int, idx: int, gt) -> StepMetrics:
+        self.state, metrics = self._train_step_fn()(
+            self.state, gt, jnp.asarray(idx), self.bg)
+        return metrics
+
+    def _base_transform(self, fn) -> None:
+        """Apply a TrainState -> TrainState transform (densify etc.)."""
+        self.state = fn(self.state)
+
     def _next_camera(self) -> int:
         """Random camera from a reshuffled stack (train.py:206-208)."""
         if not self._camera_stack:
-            n = int(self.state.cams.fovx.shape[0])
+            base = getattr(self.state, "base", self.state)
+            n = int(base.cams.fovx.shape[0])
             self._camera_stack = list(self._rng.permutation(n))
         return int(self._camera_stack.pop())
 
@@ -365,26 +377,26 @@ class Trainer:
             idx = self._next_camera()
             gt = self.gt_images[idx] if not callable(self.gt_images) \
                 else self.gt_images(idx)
-            self.state, metrics = self._train_step_fn()(
-                self.state, gt, jnp.asarray(idx), self.bg)
+            metrics = self._invoke_step(it, idx, gt)
 
             if self.cfg.mcmc:
                 # MCMC cadence (train.py:363-372,434-441): relocation at the
                 # densify interval, SGLD position noise every step.
                 if opt.densify_from_iter < it < opt.densify_until_iter and \
                         it % opt.densification_interval == 0:
-                    self.state, _ = self.mcmc_step(self.state)
-                self.state = self.mcmc_noise_step(self.state)
+                    self._base_transform(lambda s: self.mcmc_step(s)[0])
+                self._base_transform(self.mcmc_noise_step)
             elif it < opt.densify_until_iter:
                 # Densification cadence (train.py:374-389).
                 if it > opt.densify_from_iter and \
                         it % opt.densification_interval == 0:
                     max_screen = 20.0 if it > opt.opacity_reset_interval else 0.0
-                    self.state, _ = self.densify_step(self.state, max_screen)
+                    self._base_transform(
+                        lambda s: self.densify_step(s, max_screen)[0])
                 if it % opt.opacity_reset_interval == 0 or (
                         self.cfg.model.white_background
                         and it == opt.densify_from_iter):
-                    self.state = opacity_reset_step(self.state)
+                    self._base_transform(opacity_reset_step)
 
             if log_every and it % log_every == 0:
                 history.append((it, float(metrics.loss),

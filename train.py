@@ -186,9 +186,31 @@ def main(argv=None):
 
     rcfg = RenderConfig(sh_degree=args.sh_degree, backend=args.backend,
                         max_instances=args.max_instances)
-    trainer = Trainer(scene.gaussians, scene.alive, scene.train_cams,
-                      scene.static, cfg, scene_extent=scene.cameras_extent,
-                      gt_images=scene.train_image, rcfg=rcfg, seed=args.seed)
+    if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
+        from bags_tpu.train.calibrated import CalibTrainer
+
+        info0 = scene.train_infos[0]
+        fish_wh = (scene.static.width, scene.static.height)
+        if info0.fish_image_path:
+            from PIL import Image
+            with Image.open(info0.fish_image_path) as im:
+                fish_wh = im.size
+        trainer = CalibTrainer(
+            scene.gaussians, scene.alive, scene.train_cams, scene.static,
+            cfg, scene_extent=scene.cameras_extent,
+            gt_images=scene.train_image,
+            focal_x=info0.focal_x, focal_y=info0.focal_y,
+            persp_wh=(scene.static.width, scene.static.height),
+            fish_wh=fish_wh, source_path=args.source_path,
+            rcfg=rcfg, seed=args.seed,
+            fish_images=(scene.fish_image if info0.fish_image_path
+                         else scene.train_image))
+    else:
+        trainer = Trainer(scene.gaussians, scene.alive, scene.train_cams,
+                          scene.static, cfg,
+                          scene_extent=scene.cameras_extent,
+                          gt_images=scene.train_image, rcfg=rcfg,
+                          seed=args.seed)
     if args.start_checkpoint:
         trainer.state = load_checkpoint(args.start_checkpoint, trainer.state)
 
@@ -203,8 +225,9 @@ def main(argv=None):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                                 backend=args.backend,
                                 max_instances=args.max_instances)
-        g = trainer.state.g
-        alive = trainer.state.alive
+        base = getattr(trainer.state, "base", trainer.state)
+        g = base.g
+        alive = base.alive
         vals = []
         for i in range(scene.n_test):
             cam = jax.tree_util.tree_map(lambda x: x[i], scene.test_cams)
@@ -216,7 +239,8 @@ def main(argv=None):
         mean_psnr = float(np.mean(vals))
         line = f"iteration {it}: test PSNR {mean_psnr:.3f} over {len(vals)} views"
         if args.opt_cam:
-            _, err = align_and_pose_error(trainer.state.cams,
+            base = getattr(trainer.state, "base", trainer.state)
+            _, err = align_and_pose_error(base.cams,
                                           scene.train_cams_clean)
             line += (f"; pose rot {err['rotation_deg_mean']:.4f} deg, "
                      f"trans {err['translation_mean']:.5f}")
@@ -234,11 +258,12 @@ def main(argv=None):
         if it in cfg.test_iterations:
             evaluate(it)
         if it in cfg.save_iterations:
+            base = getattr(state, "base", state)
             ply_dir = os.path.join(args.model_path, "point_cloud",
                                    f"iteration_{it}")
             os.makedirs(ply_dir, exist_ok=True)
             save_ply(os.path.join(ply_dir, "point_cloud.ply"),
-                     state.g, np.asarray(state.alive))
+                     base.g, np.asarray(base.alive))
         if it in cfg.checkpoint_iterations:
             save_checkpoint(os.path.join(args.model_path, f"chkpnt{it}.npz"),
                             state)
