@@ -72,18 +72,27 @@ class CameraStatic:
 class GlobalAlignment:
     """Global SIM(3) alignment applied to all cameras (scene/__init__.py:79-81).
 
-    rotation: (3, 3); log_scale: () — scale applied to camera centers.
-    The reference multiplies the c2w translation row by a learnable scale
-    (cameras.py:366-370); with w2c = [R|t] that is exactly t <- s * t.
+    Parameterized by a quaternion (like the reference's global_quaternion,
+    so optimization stays on SO(3)) and a log scale applied to camera
+    centers: the reference multiplies the c2w translation row by a learnable
+    scale (cameras.py:366-370); with w2c = [R|t] that is exactly t <- s*t.
+    NOTE: the reference CREATES a global-alignment optimizer but never steps
+    it in the canonical loop — optimization is opt-in here too
+    (CalibConfig.opt_global_alignment).
     """
 
-    rotation: jnp.ndarray
+    quaternion: jnp.ndarray  # (4,) (w, x, y, z)
     log_scale: jnp.ndarray
+
+    @property
+    def rotation(self) -> jnp.ndarray:
+        return quat_to_rotmat(self.quaternion)
 
     @staticmethod
     def identity() -> "GlobalAlignment":
-        return GlobalAlignment(rotation=jnp.eye(3, dtype=jnp.float32),
-                               log_scale=jnp.zeros((), jnp.float32))
+        return GlobalAlignment(
+            quaternion=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+            log_scale=jnp.zeros((), jnp.float32))
 
 
 def pose_w2c(cam: CameraParams, align: GlobalAlignment | None = None

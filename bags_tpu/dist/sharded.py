@@ -90,7 +90,8 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         inst_valid = bins.gauss_id < n
         table = jnp.concatenate(
             [local_mean2d, full.conic, full.color, full.opacity[:, None],
-             jnp.zeros((n, 3), local_mean2d.dtype)], axis=1)
+             full.depth[:, None], jnp.zeros((n, 2), local_mean2d.dtype)],
+            axis=1)
         rows = jnp.take(table, gid, axis=0)
         rows = rows * inst_valid[:, None].astype(rows.dtype)
         rows = rows + jnp.pad(probe_inst, ((0, 0), (0, 10)))
@@ -105,8 +106,8 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         else:
             tile_img = tiles.composite_tiles_jnp(
                 rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
-                bins.tile_start, bins.tile_count, tiles_x, tiles_y_local, bg,
-                max_per_tile=rcfg.max_per_tile)
+                rows[:, 9], bins.tile_start, bins.tile_count, tiles_x,
+                tiles_y_local, bg, max_per_tile=rcfg.max_per_tile)
 
         slab = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y_local,
                                     static.width, tiles_y_local * binning.TILE)

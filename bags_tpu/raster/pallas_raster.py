@@ -44,7 +44,7 @@ K = CHUNK              # Gaussians per chunk == lane width (Mosaic DMA alignment
 NROWS = 16             # packet rows (9 used, padded for sublane alignment)
 
 # Packet row indices.
-R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_O = range(9)
+R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_O, R_D = range(10)
 
 
 def _interpret() -> bool:
@@ -170,7 +170,9 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
         offs = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         valid = (i * K + offs) < count
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
-        color = jnp.stack([chunk[R_R, :], chunk[R_G, :], chunk[R_B, :]])  # (3, K)
+        # rgb + expected-depth accumulation in one (4, K) x (K, NPIX) matmul
+        color = jnp.stack([chunk[R_R, :], chunk[R_G, :], chunk[R_B, :],
+                           chunk[R_D, :]])
         acc = acc + jax.lax.dot_general(
             color, f["w"], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -182,7 +184,7 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
 
         return i + 1, acc, f["t_run"], f["done"]
 
-    acc0 = jnp.zeros((3, NPIX), jnp.float32)
+    acc0 = jnp.zeros((4, NPIX), jnp.float32)
     t0 = jnp.ones((1, NPIX), jnp.float32)
     d0 = jnp.zeros((1, NPIX), jnp.float32)
     _, acc, t_run, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0, t0, d0))
@@ -204,9 +206,9 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
     px, py = _pixel_coords(tiles_x)
 
-    g = g_color_ref[0]          # (3, NPIX) cotangent of color (no bg)
+    g = g_color_ref[0]          # (4, NPIX) cotangent of rgb+depth (no bg)
     g_t = g_t_ref[0]            # (1, NPIX) cotangent of final transmittance
-    c_total = c_total_ref[0]    # (3, NPIX) forward output color (no bg)
+    c_total = c_total_ref[0]    # (4, NPIX) forward rgb+depth (no bg)
     t_final = t_final_ref[0]    # (1, NPIX)
 
     def dma_in(slot, chunk_idx):
@@ -241,16 +243,17 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         offs = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         valid = (i * K + offs) < count
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
-        color = jnp.stack([chunk[R_R, :], chunk[R_G, :], chunk[R_B, :]])  # (3, K)
+        color = jnp.stack([chunk[R_R, :], chunk[R_G, :], chunk[R_B, :],
+                           chunk[R_D, :]])  # (4, K)
         a_inc, w, include = f["a_inc"], f["w"], f["include"]
         one_minus = jnp.maximum(1.0 - a_inc, 1e-6)
 
         # Per-channel weighted colors and inclusive prefix within the chunk.
-        cw = color[:, :, None] * w[None, :, :]            # (3, K, NPIX)
+        cw = color[:, :, None] * w[None, :, :]            # (4, K, NPIX)
         prefix_in = jnp.stack(
-            [_prefix_sum(cw[c], exclusive=False) for c in range(3)]) \
+            [_prefix_sum(cw[c], exclusive=False) for c in range(4)]) \
             + prefix[:, None, :]
-        suffix = c_total[:, None, :] - prefix_in          # (3, K, NPIX)
+        suffix = c_total[:, None, :] - prefix_in          # (4, K, NPIX)
 
         # dL/dalpha_i = sum_c g_c (T_i c_i - suffix_i/(1-a_i)) - g_T T_fin/(1-a_i)
         t_before_inc = f["t_before_inc"]
@@ -278,16 +281,17 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         d_dy = -(cc * dy + cb * dx) * d_power
         d_mx = jnp.sum(-d_dx, axis=1)                      # dx = px - mx
         d_my = jnp.sum(-d_dy, axis=1)
-        d_col = jax.lax.dot_general(                       # (3, K)
+        d_col = jax.lax.dot_general(                       # (4, K)
             g, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-        zeros = jnp.zeros((NROWS - 9, K), jnp.float32)
+        zeros = jnp.zeros((NROWS - 10, K), jnp.float32)
         dchunk = jnp.concatenate([
             d_mx.reshape(1, K), d_my.reshape(1, K),
             d_ca.reshape(1, K), d_cb.reshape(1, K), d_cc.reshape(1, K),
-            d_col, d_o.reshape(1, K), zeros], axis=0)      # (NROWS, K)
+            d_col[:3], d_o.reshape(1, K), d_col[3:4], zeros],
+            axis=0)                                        # (NROWS, K)
         dscratch[slot] = dchunk
         dma_out(slot, i).start()
 
@@ -295,7 +299,7 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 
     t0 = jnp.ones((1, NPIX), jnp.float32)
     d0 = jnp.zeros((1, NPIX), jnp.float32)
-    p0 = jnp.zeros((3, NPIX), jnp.float32)
+    p0 = jnp.zeros((4, NPIX), jnp.float32)
     jax.lax.fori_loop(0, n_chunks, body, (t0, d0, p0))
     # Drain outstanding output DMAs.
     @pl.when(n_chunks >= 2)
@@ -312,12 +316,12 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 # ---------------------------------------------------------------------------
 
 def _pack(rows):
-    """(M, >=9) instance rows [mx,my,ca,cb,cc,r,g,b,o,...] -> feature-major
-    (NROWS, M_pad) packets for chunked DMA."""
+    """(M, >=10) instance rows [mx,my,ca,cb,cc,r,g,b,o,depth,...] ->
+    feature-major (NROWS, M_pad) packets for chunked DMA."""
     m = rows.shape[0]
     m_pad = -(-m // K) * K  # aligned segments already bound all chunk reads
-    pk = jnp.transpose(rows[:, :9]).astype(jnp.float32)
-    return jnp.pad(pk, ((0, NROWS - 9), (0, m_pad - m)))
+    pk = jnp.transpose(rows[:, :10]).astype(jnp.float32)
+    return jnp.pad(pk, ((0, NROWS - 10), (0, m_pad - m)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -339,7 +343,7 @@ def _composite_fwd_call(packed, tile_start, tile_count, tiles_x, tiles_y):
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, NPIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 4, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -353,7 +357,7 @@ def _composite_fwd_call(packed, tile_start, tile_count, tiles_x, tiles_y):
         functools.partial(_fwd_kernel, tiles_x, _max_chunks(m_pad)),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 4, NPIX), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 1, NPIX), jnp.float32),
         ],
         interpret=_interpret(),
@@ -377,11 +381,11 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                     # packets
-            pl.BlockSpec((1, 3, NPIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 4, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # g_color
             pl.BlockSpec((1, 1, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # g_t
-            pl.BlockSpec((1, 3, NPIX), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 4, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # c_total
             pl.BlockSpec((1, 1, NPIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                    # t_final
@@ -418,11 +422,12 @@ _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 def composite_tiles_pallas(rows, tile_start, tile_count, tiles_x, tiles_y,
                            bg) -> TileImage:
-    """Pallas compositor over packed instance rows (M, >=9):
-    [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity]."""
+    """Pallas compositor over packed instance rows (M, >=10):
+    [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity, depth].
+    Returns rgb (bg-blended), expected depth, and final transmittance."""
     packed = _pack(rows)
-    color, t_final = _composite_core(packed, tile_start, tile_count,
-                                     tiles_x, tiles_y)
-    color = jnp.transpose(color, (0, 2, 1))            # (T, NPIX, 3)
-    color = color + t_final[..., None] * bg[None, None, :]
-    return TileImage(color=color, t_final=t_final)
+    out, t_final = _composite_core(packed, tile_start, tile_count,
+                                   tiles_x, tiles_y)
+    out = jnp.transpose(out, (0, 2, 1))                # (T, NPIX, 4)
+    color = out[..., :3] + t_final[..., None] * bg[None, None, :]
+    return TileImage(color=color, t_final=t_final, depth=out[..., 3])

@@ -49,6 +49,7 @@ class RenderConfig:
 class RenderOutput(NamedTuple):
     render: jnp.ndarray            # (3, H, W)
     t_final: jnp.ndarray           # (H, W) final transmittance
+    depth_map: jnp.ndarray         # (H, W) expected depth sum(w_i d_i)
     radii: jnp.ndarray             # (N,) int32
     visibility: jnp.ndarray        # (N,) bool — radii > 0
     depth: jnp.ndarray             # (N,) per-Gaussian view z
@@ -124,7 +125,8 @@ def render(
     inst_valid = bins.gauss_id < n
     table = jnp.concatenate(
         [mean2d, proj.conic, proj.color, proj.opacity[:, None],
-         jnp.zeros((n, 3), mean2d.dtype)], axis=1)          # (N, 12)
+         proj.depth[:, None], jnp.zeros((n, 2), mean2d.dtype)],
+        axis=1)                                             # (N, 12)
     rows = jnp.take(table, gid, axis=0)
     rows = rows * inst_valid[:, None].astype(rows.dtype)
     if probe2d_inst is not None:
@@ -138,18 +140,22 @@ def render(
     else:
         tile_img = tiles.composite_tiles_jnp(
             rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
-            bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg,
-            max_per_tile=cfg.max_per_tile)
+            rows[:, 9], bins.tile_start, bins.tile_count, tiles_x, tiles_y,
+            bg, max_per_tile=cfg.max_per_tile)
 
     img = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y,
                                static.width, static.height)
-    t_final = tiles.tiles_to_image(
-        tile_img.t_final[..., None].repeat(3, -1), tiles_x, tiles_y,
-        static.width, static.height)[0]
+    aux2 = jnp.stack([tile_img.t_final, tile_img.depth], axis=-1)
+    aux2 = tiles.tiles_to_image(
+        jnp.concatenate([aux2, aux2[..., :1]], axis=-1), tiles_x, tiles_y,
+        static.width, static.height)
+    t_final = aux2[0]
+    depth_map = aux2[1]
 
     return RenderOutput(
         render=img,
         t_final=t_final,
+        depth_map=depth_map,
         radii=proj.radius,
         visibility=proj.radius > 0,
         depth=proj.depth,

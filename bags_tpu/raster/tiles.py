@@ -30,6 +30,7 @@ NPIX = TILE * TILE
 class TileImage(NamedTuple):
     color: jnp.ndarray    # (T, NPIX, 3)
     t_final: jnp.ndarray  # (T, NPIX)
+    depth: jnp.ndarray | None = None  # (T, NPIX) expected depth sum(w_i d_i)
 
 
 def tile_pixel_coords(tiles_x: int, tiles_y: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -61,6 +62,7 @@ def composite_tiles_jnp(
     conic_s: jnp.ndarray,    # (M, 3)
     color_s: jnp.ndarray,    # (M, 3)
     opacity_s: jnp.ndarray,  # (M,)
+    depth_s: jnp.ndarray | None,  # (M,) view depths (None = skip)
     tile_start: jnp.ndarray,  # (T,)
     tile_count: jnp.ndarray,  # (T,)
     tiles_x: int,
@@ -85,6 +87,8 @@ def composite_tiles_jnp(
         m2 = jnp.where(in_range[..., None], mean2d_s[idx], 0.0)
         cn = jnp.where(in_range[..., None], conic_s[idx], 0.0)
         cl = color_s[idx]
+        if depth_s is not None:
+            cl = jnp.concatenate([cl, depth_s[idx][..., None]], axis=-1)
         op = jnp.where(in_range, opacity_s[idx], 0.0)
 
         a = _chunk_alpha(m2, cn, op, px, py)                    # (T, K, NPIX)
@@ -111,15 +115,17 @@ def composite_tiles_jnp(
         done = done | jnp.any(kill, axis=1)
         return (acc, t_run, done), None
 
+    n_ch = 3 if depth_s is None else 4
     init = (
-        jnp.zeros((num_tiles, NPIX, 3), jnp.float32),
+        jnp.zeros((num_tiles, NPIX, n_ch), jnp.float32),
         jnp.ones((num_tiles, NPIX), jnp.float32),
         jnp.zeros((num_tiles, NPIX), bool),
     )
     (acc, t_run, _), _ = jax.lax.scan(
         jax.checkpoint(step), init, jnp.arange(n_chunks, dtype=jnp.int32))
-    acc = acc + t_run[..., None] * bg[None, None, :]
-    return TileImage(color=acc, t_final=t_run)
+    color = acc[..., :3] + t_run[..., None] * bg[None, None, :]
+    depth = acc[..., 3] if depth_s is not None else None
+    return TileImage(color=color, t_final=t_run, depth=depth)
 
 
 def tiles_to_image(tile_color: jnp.ndarray, tiles_x: int, tiles_y: int,

@@ -76,6 +76,7 @@ class CalibConfig:
     r_t_lr: Tuple[float, float] = (0.01, 0.01)
     fov_lr: float = 0.01                       # scene/__init__.py:181-186
     global_alignment_lr: float = 0.01
+    opt_global_alignment: bool = False
     r_t_noise: Tuple[float, float] = (0.0, 0.0)
     fov_noise: float = 1.0                     # log-normal scale (1.0 = none)
     pose_lr_milestones: Tuple[int, int] = (7000, 30000)  # MultiStepLR x0.5

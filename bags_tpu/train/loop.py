@@ -170,8 +170,9 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         new_cams, cam_opt = row_adam_update(
             state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib)
 
-        # --- global alignment ----------------------------------------------
-        if cfg.calib.opt_cam:
+        # --- global alignment (opt-in; the reference never steps it in the
+        # canonical loop) ----------------------------------------------------
+        if getattr(cfg.calib, "opt_global_alignment", False):
             a_upd, align_opt = align_tx.update(align_grads, state.align_opt,
                                                state.align)
             new_align = optax.apply_updates(state.align, a_upd)

@@ -80,3 +80,11 @@ def masked_photometric_loss(pred, gt, mask, lambda_dssim: float = 0.2):
     both images are pre-multiplied by the validity mask, then the plain
     L1-mean / SSIM objective is applied."""
     return photometric_loss(pred * mask, gt * mask, lambda_dssim)
+
+
+def kl_divergence(rho: float, rho_hat: jnp.ndarray) -> jnp.ndarray:
+    """Sparsity KL term (`loss_utils.py:22-26`): mean KL between a target
+    activation rate rho and mean sigmoid activations."""
+    rho_hat = jnp.mean(jax.nn.sigmoid(rho_hat), axis=0)
+    return jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-5))
+                    + (1 - rho) * jnp.log((1 - rho) / (1 - rho_hat + 1e-5)))

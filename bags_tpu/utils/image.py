@@ -68,3 +68,25 @@ def center_crop_resample(image: jnp.ndarray, target_h: int, target_w: int
     gx = 2.0 * xs / (w - 1) - 1.0
     grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
     return grid_sample(image, grid, align_corners=True)
+
+
+def linear_to_srgb(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Linear -> sRGB transfer (`utils/general_utils.py:209` semantics)."""
+    x = jnp.clip(x, eps, None)
+    return jnp.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * x ** (1.0 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     ((x + 0.055) / 1.055) ** 2.4)
+
+
+def depth_to_normal(depth: jnp.ndarray, fx: float, fy: float) -> jnp.ndarray:
+    """Normals from a depth map by central differences in camera space
+    (`utils/general_utils.py:225` capability). depth: (H, W) -> (3, H, W)."""
+    h, w = depth.shape
+    dzdx = (jnp.roll(depth, -1, 1) - jnp.roll(depth, 1, 1)) * 0.5 * fx
+    dzdy = (jnp.roll(depth, -1, 0) - jnp.roll(depth, 1, 0)) * 0.5 * fy
+    n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(depth)], axis=0)
+    return n / jnp.clip(jnp.linalg.norm(n, axis=0, keepdims=True), 1e-8)

@@ -79,7 +79,12 @@ def main(argv=None):
         # only dq/dt of each test camera move.
         print(f"test-time pose optimization "
               f"({args.optim_test_pose_iter} iters)")
-        tx = optax.adam(5e-4, eps=1e-15)
+        # reference test-camera lrs: rotation 5e-4, translation 2.5e-3
+        # (scene/__init__.py:166-170)
+        tx = optax.multi_transform(
+            {"dq": optax.adam(5e-4, eps=1e-15),
+             "dt": optax.adam(2.5e-3, eps=1e-15)},
+            ("dq", "dt"))
 
         @jax.jit
         def step(dq, dt, opt_state, idx_gt, cam):

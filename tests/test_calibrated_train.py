@@ -79,7 +79,7 @@ def test_fisheye_train_step_runs_and_descends():
     losses = []
     st = calib_state
     bg = jnp.zeros(3)
-    for i in range(10):
+    for i in range(6):
         st, (loss, img) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
         losses.append(float(loss))
     assert np.isfinite(losses).all()

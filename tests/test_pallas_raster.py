@@ -18,7 +18,7 @@ def _render_both(sc, sh_degree, **kw):
 
 
 def test_pallas_forward_matches_jnp():
-    sc = make_toy_scene(n=300, width=64, height=48, sh_degree=1, seed=11)
+    sc = make_toy_scene(n=200, width=48, height=32, sh_degree=1, seed=11)
     out_j, out_p = _render_both(sc, 1)
     np.testing.assert_allclose(np.asarray(out_p.render), np.asarray(out_j.render),
                                atol=2e-5)
@@ -35,8 +35,8 @@ def test_pallas_forward_with_background():
 
 
 def test_pallas_grads_match_jnp():
-    sc = make_toy_scene(n=200, width=48, height=32, sh_degree=1, seed=13)
-    target = jnp.zeros((3, 32, 48))
+    sc = make_toy_scene(n=150, width=32, height=32, sh_degree=1, seed=13)
+    target = jnp.zeros((3, 32, 32))
 
     def make_loss(backend):
         cfg = RenderConfig(sh_degree=1, backend=backend, max_instances=16384)

@@ -61,10 +61,10 @@ def test_isotropic_gaussian_conic():
 
 
 def test_tiled_matches_reference():
-    sc = _scene(n=300, width=64, height=48, sh_degree=1, seed=1)
+    sc = _scene(n=200, width=48, height=32, sh_degree=1, seed=1)
     ref = render_reference(sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
                            sc["sh_coeffs"], sc["cam"], sc["static"], 1)
-    cfg = RenderConfig(sh_degree=1, backend="jnp", max_instances=16384)
+    cfg = RenderConfig(sh_degree=1, backend="jnp", max_instances=8192)
     out = render(sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
                  sc["sh_coeffs"], sc["cam"], sc["static"], cfg)
     assert int(out.n_dropped) == 0
@@ -99,9 +99,9 @@ def test_background_blend():
 
 def test_grad_matches_reference_renderer():
     """d(loss)/d(params) identical between tiled-jnp and naive compositors."""
-    sc = _scene(n=120, width=48, height=48, seed=4)
-    target = jnp.zeros((3, 48, 48))
-    cfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=16384)
+    sc = _scene(n=80, width=32, height=32, seed=4)
+    target = jnp.zeros((3, 32, 32))
+    cfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=8192)
 
     def loss_tiled(xyz, opacity, cam):
         out = render(xyz, sc["scales"], sc["quats"], opacity, sc["sh_coeffs"],
@@ -171,3 +171,21 @@ def test_probe2d_screen_space_grads():
     g = np.asarray(jax.grad(loss)(jnp.zeros((80, 2))))
     assert np.isfinite(g).all()
     assert (np.abs(g).sum(axis=-1) > 0).any()
+
+
+def test_depth_map():
+    """Expected-depth output: one opaque Gaussian at depth d gives
+    depth_map ~= alpha * d at its center, 0 in empty space."""
+    static = CameraStatic(width=32, height=32)
+    cam = CameraParams.create(np.eye(3), np.zeros(3), 0.8, 0.8)
+    xyz = jnp.array([[0.0, 0.0, 5.0]])
+    args = (xyz, jnp.full((1, 3), 0.3), jnp.array([[1.0, 0, 0, 0]]),
+            jnp.array([0.999]), jnp.zeros((1, 1, 3)), cam, static)
+    for backend in ["jnp", "pallas"]:
+        out = render(*args, RenderConfig(sh_degree=0, backend=backend,
+                                         max_instances=1024))
+        # expected depth / accumulated alpha == the Gaussian's depth exactly
+        alpha = 1.0 - float(out.t_final[15, 15])
+        d_center = float(out.depth_map[15, 15])
+        np.testing.assert_allclose(d_center / alpha, 5.0, rtol=1e-4)
+        assert float(out.depth_map[0, 0]) < 1.0

@@ -18,7 +18,7 @@ from bags_tpu.train.loop import Trainer
 from bags_tpu.utils.testing import make_toy_scene
 
 
-def _setup(n_cams=4, n_pts=150, wh=48, cap=512, pose_noise=0.0):
+def _setup(n_cams=4, n_pts=120, wh=48, cap=256, pose_noise=0.0):
     rng = np.random.default_rng(3)
     scene = make_toy_scene(n=n_pts, width=wh, height=wh, sh_degree=0, seed=3)
     static = scene["static"]
@@ -64,9 +64,9 @@ def test_toy_training_loss_decreases():
     tr = Trainer(g, alive, cams, static, cfg, scene_extent=3.0,
                  gt_images=gt, rcfg=RenderConfig(sh_degree=0, backend="jnp",
                                                  max_instances=2 ** 14))
-    hist = tr.run(iterations=150, log_every=10)
+    hist = tr.run(iterations=100, log_every=10)
     losses = [h[1] for h in hist]
-    assert losses[-1] < 0.5 * losses[0], f"loss did not decrease: {losses}"
+    assert losses[-1] < 0.7 * losses[0], f"loss did not decrease: {losses}"
     # densification ran and the population is still healthy
     assert hist[-1][2] > 100
 
@@ -84,7 +84,7 @@ def test_toy_training_with_pose_optimization():
                  gt_images=gt, rcfg=RenderConfig(sh_degree=0, backend="jnp",
                                                  max_instances=2 ** 14))
     dq_before = float(jnp.abs(tr.state.cams.dq).max())
-    hist = tr.run(iterations=120, log_every=20)
+    hist = tr.run(iterations=60, log_every=20)
     losses = [h[1] for h in hist]
     assert losses[-1] < losses[0]
     # camera residuals moved (pose optimization is active)
