@@ -158,6 +158,9 @@ class Scene:
     def fish_image(self, idx: int) -> jnp.ndarray:
         return self._load(self.train_infos, idx, fish=True)
 
+    def test_fish_image(self, idx: int) -> jnp.ndarray:
+        return self._load(self.test_infos, idx, fish=True)
+
     @property
     def n_train(self) -> int:
         return len(self.train_infos)

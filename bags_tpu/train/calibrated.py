@@ -494,3 +494,35 @@ class CalibTrainer(Trainer):
 
     def _base_transform(self, fn):
         self.state = dataclasses.replace(self.state, base=fn(self.state.base))
+
+
+def make_fisheye_eval_fn(trainer: "CalibTrainer"):
+    """Held-out evaluation for fisheye mode (training_report's distortion
+    branch, train.py:569-607): render at the extended FoV, warp through the
+    current lens field, compare against the fisheye GT."""
+    setup = trainer.setup
+    rcfg = dataclasses.replace(trainer.rcfg,
+                               sh_degree=trainer.max_sh_degree)
+    static = setup.render_static
+    apply2gt = trainer.cfg.calib.apply2gt
+
+    @jax.jit
+    def eval_one(state: CalibState, cam, fish_gt):
+        b = state.base
+        g = b.g
+        out = render(g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
+                     g.sh_coeffs(), cam, static, rcfg, bg=jnp.zeros(3))
+        proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
+                                1.0 / jnp.tan(cam.fovy * 0.5)])
+        if not apply2gt:
+            warped, mask, _ = dist_lib.apply_distortion(
+                state.lens, trainer.p_view, setup.grid_hw, out.render,
+                proj_scale, setup.flow_hw, final_hw=setup.fish_hw,
+                apply2gt=False)
+            return jnp.clip(warped, 0.0, 1.0), fish_gt * mask
+        gt_warped, mask, _ = dist_lib.apply_distortion(
+            state.lens, trainer.p_view, setup.grid_hw, fish_gt, proj_scale,
+            setup.flow_hw, apply2gt=True)
+        return jnp.clip(out.render * mask, 0.0, 1.0), gt_warped
+
+    return eval_one

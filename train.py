@@ -221,6 +221,11 @@ def main(argv=None):
     logger = MetricsLogger(args.model_path)
     eval_file = os.path.join(args.model_path, "evaluation_results.txt")
 
+    fisheye_eval = None
+    if cfg.calib.outside_rasterizer and not cfg.calib.cubemap:
+        from bags_tpu.train.calibrated import make_fisheye_eval_fn
+        fisheye_eval = make_fisheye_eval_fn(trainer)
+
     def evaluate(it):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                                 backend=args.backend,
@@ -231,6 +236,19 @@ def main(argv=None):
         vals = []
         for i in range(scene.n_test):
             cam = jax.tree_util.tree_map(lambda x: x[i], scene.test_cams)
+            if fisheye_eval is not None:
+                # training_report's fisheye branch: warp through the lens
+                # field and compare against the (masked) fisheye GT.
+                cam = dataclasses.replace(
+                    cam,
+                    fovx=jnp.asarray(trainer.setup.fovx),
+                    fovy=jnp.asarray(trainer.setup.fovy))
+                gt_i = (scene.test_fish_image(i)
+                        if scene.test_infos[i].fish_image_path
+                        else scene.test_image(i))
+                img, gt_img = fisheye_eval(trainer.state, cam, gt_i)
+                vals.append(float(psnr(img, gt_img)))
+                continue
             out = render_fn(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                             g.sh_coeffs(), cam, scene.static, eval_cfg,
                             bg=trainer.bg)
