@@ -254,6 +254,13 @@ def main(argv=None):
                             bg=trainer.bg)
             img = jnp.clip(out.render, 0.0, 1.0)
             vals.append(float(psnr(img, scene.test_image(i))))
+        # periodic visual artifact (train.py:314-320 saves render/gt pngs)
+        try:
+            from render import save_png
+            save_png(os.path.join(args.model_path, f"render_{it}.png"),
+                     np.asarray(img))
+        except Exception:
+            pass
         mean_psnr = float(np.mean(vals))
         line = f"iteration {it}: test PSNR {mean_psnr:.3f} over {len(vals)} views"
         if args.opt_cam:
