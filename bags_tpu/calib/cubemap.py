@@ -13,7 +13,7 @@ upsampled (`render_cubemap` :233-252).
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ import dataclasses
 import json
 import os
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -158,8 +158,6 @@ def read_colmap_scene(path: str, images_dir: str = "images",
 
 
 def _init_points(path, sparse, init_type, num_pts, radius, seed):
-    from ..model.gaussians import load_ply as load_gauss_ply  # noqa: F401
-
     if init_type == "sfm":
         ply_path = os.path.join(sparse, "points3D.ply")
         try:

@@ -17,7 +17,6 @@ pinned numpy cache feeding `jax.device_put` per step.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 
 from ..core.camera import CameraParams, CameraStatic
 from ..core.lie import so3_exp
-from ..model.gaussians import Gaussians, create_from_points
+from ..model.gaussians import create_from_points
 from .readers import CameraInfo, SceneInfo, load_scene_info
 
 

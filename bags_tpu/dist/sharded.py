@@ -22,8 +22,6 @@ image height to D*16 multiples).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

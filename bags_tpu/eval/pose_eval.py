@@ -14,12 +14,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.camera import CameraParams, pose_w2c
-from ..core.lie import quat_to_rotmat, rotation_distance
+from ..core.lie import rotation_distance
 
 
 @dataclasses.dataclass

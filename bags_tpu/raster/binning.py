@@ -3,23 +3,17 @@
 The reference CUDA pipeline (SURVEY.md §2.3) duplicates each Gaussian ID once
 per overlapped 16x16 tile, radix-sorts by (tileID | depth), and extracts
 per-tile ranges. On TPU, dynamic duplication is impossible under XLA's static
-shapes; instead we use a fixed instance capacity and a searchsorted trick:
+shapes; instead a fixed instance budget is expanded with scatter/cummax
+fill-forwards and ONE lexicographic sort lands real + synthesized padding
+instances directly in the CHUNK-aligned layout the Pallas kernels DMA from
+(see `bin_gaussians` for the step-by-step algorithm and the perf rationale).
 
-  1. per-Gaussian tile rect -> number of covered tiles (0 if culled)
-  2. inclusive cumsum -> instance offsets
-  3. for each of MAX_INSTANCES static slots, searchsorted finds the owning
-     Gaussian and the local tile index within its rect
-  4. one lexicographic `jax.lax.sort` on (tile_id, depth) orders instances
-  5. searchsorted over the sorted tile ids yields per-tile [start, count)
-
-Everything is int32/f32 arrays of static shape; overflow beyond the capacity
-is dropped far-to-near-ish (slots past the cap are simply invalid) and
-reported via `n_dropped` so callers can grow the capacity.
+Everything is int32/f32 arrays of static shape; capacity overflow drops whole
+Gaussians (keeping the layout consistent) and is reported via `n_dropped`.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -10,12 +10,13 @@ JAX autodiff through `project_gaussians`.
 
 TPU-first design decisions (NOT a CUDA translation):
   * One grid program per 16x16 tile; the 256 pixels are a flat lane vector.
-  * Gaussians stream through in chunks of K=64 as a feature-major (16, M)
-    packet array, double-buffered HBM->VMEM with async DMA.
+  * Gaussians stream through in chunks of K=128 as a feature-major (16, M)
+    packet array, double-buffered HBM->VMEM with async DMA, with early
+    termination once every pixel of the tile saturates.
   * The sequential front-to-back recurrence is vectorized: within a chunk,
-    exclusive cumulative transmittance is a strictly-lower-triangular matmul
-    in log space — an MXU op — instead of a scalar loop. Color accumulation
-    `C += color @ weights` is a (3,K)x(K,256) MXU matmul.
+    exclusive cumulative log-transmittance is a Hillis-Steele prefix scan
+    (pltpu.roll shift-adds — exact f32 on the VPU). Color + expected-depth
+    accumulation is a (4,K)x(K,256) MXU matmul.
   * Backward replays chunks in forward order using the identity
       suffix_i = C_total - prefix_i
     so no back-to-front pass or atomics are needed; per-camera pose grads
@@ -29,7 +30,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

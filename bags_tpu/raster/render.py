@@ -29,9 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import CameraParams, CameraStatic, GlobalAlignment
-from ..core.projection import Projected, distance_to_camera, project_gaussians
+from ..core.projection import distance_to_camera, project_gaussians
 from . import binning, tiles
-from .binning import TILE, TileBins
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,6 @@ accumulation `color^T @ weights` is an MXU contraction.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

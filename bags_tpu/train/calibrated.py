@@ -24,8 +24,7 @@ as in the reference.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

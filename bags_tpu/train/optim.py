@@ -14,10 +14,8 @@ the sqrt).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import optax
 
