@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--r_t_lr", nargs="+", type=float, default=[0.01, 0.01])
     p.add_argument("--r_t_noise", nargs="+", type=float, default=[0.0, 0.0, 1.0])
     p.add_argument("--global_alignment_lr", type=float, default=0.01)
+    p.add_argument("--opt_global_alignment", action="store_true",
+                   help="optimize the global SIM(3) alignment (the reference "
+                        "creates but never steps this optimizer)")
     p.add_argument("--opt_distortion", action="store_true")
     p.add_argument("--outside_rasterizer", action="store_true")
     p.add_argument("--apply2gt", action="store_true")
@@ -125,6 +128,7 @@ def args_to_config(args):
             r_t_lr=tuple(args.r_t_lr[:2]),
             r_t_noise=tuple(args.r_t_noise),
             global_alignment_lr=args.global_alignment_lr,
+            opt_global_alignment=args.opt_global_alignment,
             opt_distortion=args.opt_distortion,
             outside_rasterizer=args.outside_rasterizer,
             apply2gt=args.apply2gt, flow_scale=tuple(args.flow_scale),
