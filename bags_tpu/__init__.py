@@ -21,3 +21,16 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (heavier modules stay lazy).
+from .raster import RenderConfig, RenderOutput, render  # noqa: E402,F401
+
+
+def __getattr__(name):
+    if name == "Scene":
+        from .data import Scene
+        return Scene
+    if name == "Trainer":
+        from .train.loop import Trainer
+        return Trainer
+    raise AttributeError(name)
