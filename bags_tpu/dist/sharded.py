@@ -177,7 +177,8 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
         updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g)
         new_g = optax.apply_updates(state.g, updates)
         new_cams, cam_opt = row_adam_update(
-            state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib)
+            state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib,
+            state.step)
 
         n = state.g.capacity
         signed = jax.ops.segment_sum(probe_grads, aux["gauss_id"],

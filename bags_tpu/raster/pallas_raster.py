@@ -107,8 +107,11 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     t_before = t_run * jnp.exp(log_cum_excl)
     kill = (a > 0.0) & (t_before * (1.0 - a) < T_EPS)
     kill_f = kill.astype(jnp.float32)
-    killed_before = _prefix_or(kill_f, exclusive=True) > 0.0
-    include = (a > 0.0) & ~killed_before & ~(done > 0.0)
+    # The Gaussian that trips the termination test is itself EXCLUDED from
+    # compositing (CUDA: `if (test_T < 0.0001) { done = true; continue; }`),
+    # so the running prefix-or must be inclusive of the killer.
+    killed_at = _prefix_or(kill_f, exclusive=False) > 0.0
+    include = (a > 0.0) & ~killed_at & ~(done > 0.0)
 
     a_inc = jnp.where(include, a, 0.0)
     log_om_inc = jnp.log1p(-a_inc)

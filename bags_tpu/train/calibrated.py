@@ -42,7 +42,7 @@ from ..raster.binning import aligned_capacity, tile_grid
 from .config import TrainConfig
 from .losses import photometric_loss
 from .loop import TrainState, Trainer, row_adam_update
-from .optim import _adam
+from .optim import ADAM_EPS, multistep_schedule
 
 
 # ---------------------------------------------------------------------------
@@ -126,24 +126,46 @@ class CalibState:
     shift_opt: optax.OptState
 
 
+def _moments_only() -> optax.GradientTransformation:
+    """Adam moments with NO learning rate: the LR is applied by the caller
+    from a GLOBAL-iteration MultiStepLR schedule, matching the reference's
+    per-iteration `scheduler.step()` calls (train.py:105-127) — the decay
+    milestones are global iterations, not per-optimizer update counts."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=ADAM_EPS, eps_root=0.0)
+
+
+def _apply_lr(params, updates, lr_val):
+    return optax.apply_updates(
+        params, jax.tree_util.tree_map(lambda u: -lr_val * u, updates))
+
+
 def init_calib_state(base: TrainState, cfg: TrainConfig,
                      seed: int = 0) -> Tuple[CalibState, dict]:
     lens = init_iresnet_params(seed=seed)
     cub = init_iresnet_params(seed=seed + 1)
     vig = VignettingParams.create()
     shift = jnp.zeros((3,), jnp.float32)
+    # (moment transform, global-step LR schedule) per group, mirroring the
+    # reference's Adams + MultiStepLR decays (train.py:105-127):
+    #   lens_net    Adam(iresnet_lr)  x0.5 @ [7000]
+    #   cubemap_net Adam(iresnet_lr)  x0.5 @ [2000, 7000, 9000]
+    #   vignetting  Adam(0.01)        x10  @ [1000]
+    #   shift       Adam(1e-5)        x0.1 @ [30000]
     txs = {
-        "lens": _adam(cfg.calib.iresnet_lr),
-        "cubemap": _adam(cfg.calib.iresnet_lr),
-        "vig": _adam(1e-3),
-        "shift": _adam(1e-5),          # train.py:126
+        "lens": (_moments_only(),
+                 multistep_schedule(cfg.calib.iresnet_lr, (7000,), 0.5)),
+        "cubemap": (_moments_only(),
+                    multistep_schedule(cfg.calib.iresnet_lr,
+                                       (2000, 7000, 9000), 0.5)),
+        "vig": (_moments_only(), multistep_schedule(0.01, (1000,), 10.0)),
+        "shift": (_moments_only(), multistep_schedule(1e-5, (30000,), 0.1)),
     }
     return CalibState(
         base=base,
-        lens=lens, lens_opt=txs["lens"].init(lens),
-        cubemap_net=cub, cubemap_opt=txs["cubemap"].init(cub),
-        vig=vig, vig_opt=txs["vig"].init(vig),
-        shift=shift, shift_opt=txs["shift"].init(shift),
+        lens=lens, lens_opt=txs["lens"][0].init(lens),
+        cubemap_net=cub, cubemap_opt=txs["cubemap"][0].init(cub),
+        vig=vig, vig_opt=txs["vig"][0].init(vig),
+        shift=shift, shift_opt=txs["shift"][0].init(shift),
     ), txs
 
 
@@ -211,7 +233,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
         new_g = optax.apply_updates(b.g, updates)
         new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
-                                            cam_idx, cfg.calib)
+                                            cam_idx, cfg.calib, b.step)
 
         if opt_lens:
             # NaN guard (train.py:423-432): skip the update on any NaN grad.
@@ -220,24 +242,23 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                  for l in jax.tree_util.tree_leaves(lens_grads)]))
             lens_grads = jax.tree_util.tree_map(
                 lambda l: jnp.where(bad, jnp.zeros_like(l), l), lens_grads)
-            l_upd, lens_opt = txs["lens"].update(lens_grads, state.lens_opt,
-                                                state.lens)
-            new_lens = optax.apply_updates(state.lens, l_upd)
+            l_upd, lens_opt = txs["lens"][0].update(lens_grads,
+                                                   state.lens_opt)
+            new_lens = _apply_lr(state.lens, l_upd, txs["lens"][1](b.step))
         else:
             new_lens, lens_opt = state.lens, state.lens_opt
 
         if use_vignetting:
-            v_upd, vig_opt = txs["vig"].update(vig_grads, state.vig_opt,
-                                               state.vig)
-            new_vig = optax.apply_updates(state.vig, v_upd)
+            v_upd, vig_opt = txs["vig"][0].update(vig_grads, state.vig_opt)
+            new_vig = _apply_lr(state.vig, v_upd, txs["vig"][1](b.step))
         else:
             new_vig, vig_opt = state.vig, state.vig_opt
 
         if cfg.calib.opt_shift:
-            s_upd, shift_opt = txs["shift"].update(shift_grads,
-                                                   state.shift_opt,
-                                                   state.shift)
-            new_shift = optax.apply_updates(state.shift, s_upd)
+            s_upd, shift_opt = txs["shift"][0].update(shift_grads,
+                                                      state.shift_opt)
+            new_shift = _apply_lr(state.shift, s_upd,
+                                  txs["shift"][1](b.step))
         else:
             new_shift, shift_opt = state.shift, state.shift_opt
 
@@ -352,16 +373,17 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
         new_g = optax.apply_updates(b.g, updates)
         new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
-                                            cam_idx, cfg.calib)
+                                            cam_idx, cfg.calib, b.step)
 
         bad = jnp.any(jnp.array(
             [jnp.any(~jnp.isfinite(l))
              for l in jax.tree_util.tree_leaves(cub_grads)]))
         cub_grads = jax.tree_util.tree_map(
             lambda l: jnp.where(bad, jnp.zeros_like(l), l), cub_grads)
-        c_upd, cub_opt = txs["cubemap"].update(cub_grads, state.cubemap_opt,
-                                              state.cubemap_net)
-        new_cub = optax.apply_updates(state.cubemap_net, c_upd)
+        c_upd, cub_opt = txs["cubemap"][0].update(cub_grads,
+                                                 state.cubemap_opt)
+        new_cub = _apply_lr(state.cubemap_net, c_upd,
+                            txs["cubemap"][1](b.step))
 
         n = b.g.capacity
         signed = jax.ops.segment_sum(probe_grads, main.gauss_id,

@@ -62,13 +62,20 @@ def row_adam_init(params: CameraParams) -> RowAdamState:
                         count=jnp.zeros((n,), jnp.int32))
 
 
-def _camera_lr_tree(calib, count) -> CameraParams:
-    """Per-field learning rates at step `count` (scalar)."""
+def _camera_lr_tree(calib, global_step) -> CameraParams:
+    """Per-field learning rates at GLOBAL iteration `global_step` (scalar).
+
+    The reference steps `scene.scheduler_rotation/translation` once per
+    global iteration (train.py:473-478), so the MultiStepLR milestones
+    [7000, 30000] are global-iteration counts — NOT per-camera Adam step
+    counts (with N cameras a single camera only sees ~iters/N updates)."""
     rot_lr, trans_lr = calib.r_t_lr
     rot = multistep_schedule(rot_lr if calib.opt_cam else 0.0,
-                             calib.pose_lr_milestones, calib.pose_lr_gamma)(count)
+                             calib.pose_lr_milestones,
+                             calib.pose_lr_gamma)(global_step)
     trans = multistep_schedule(trans_lr if calib.opt_cam else 0.0,
-                               calib.pose_lr_milestones, calib.pose_lr_gamma)(count)
+                               calib.pose_lr_milestones,
+                               calib.pose_lr_gamma)(global_step)
     fov = jnp.asarray(calib.fov_lr if calib.opt_intrinsic else 0.0)
     zero = jnp.zeros(())
     return CameraParams(q_init=zero, t_init=zero, dq=rot, dt=trans,
@@ -76,10 +83,10 @@ def _camera_lr_tree(calib, count) -> CameraParams:
 
 
 def row_adam_update(params: CameraParams, st: RowAdamState,
-                    row_grads: CameraParams, idx, calib,
+                    row_grads: CameraParams, idx, calib, global_step,
                     b1=0.9, b2=0.999) -> tuple[CameraParams, RowAdamState]:
-    t = st.count[idx] + 1
-    lr = _camera_lr_tree(calib, t)
+    t = st.count[idx] + 1  # per-row count: Adam bias correction only
+    lr = _camera_lr_tree(calib, global_step)
     tf = t.astype(jnp.float32)
     bc1 = 1.0 - b1 ** tf
     bc2 = 1.0 - b2 ** tf
@@ -151,10 +158,14 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                          align=align, probe2d_inst=probe_inst)
             loss = photometric_loss(out.render, gt, lam)
             if cfg.mcmc:
-                loss = loss + cfg.opt.opacity_reg * jnp.mean(
-                    jnp.abs(g.opacity(alive)))
-                loss = loss + cfg.opt.scale_reg * jnp.mean(
-                    jnp.abs(g.scaling() * alive[:, None]))
+                # Reference means over the N *actual* Gaussians
+                # (train.py:328-329), not the fixed capacity — dividing by
+                # capacity would scale the reg strength by the fill factor.
+                n_alive = jnp.maximum(jnp.sum(alive), 1.0)
+                loss = loss + cfg.opt.opacity_reg * jnp.sum(
+                    jnp.abs(g.opacity(alive))) / n_alive
+                loss = loss + cfg.opt.scale_reg * jnp.sum(
+                    jnp.abs(g.scaling() * alive[:, None])) / (3.0 * n_alive)
             return loss, out
 
         (loss, out), grads = jax.value_and_grad(
@@ -168,7 +179,8 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
 
         # --- camera update (only the sampled row) ---------------------------
         new_cams, cam_opt = row_adam_update(
-            state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib)
+            state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib,
+            state.step)
 
         # --- global alignment (opt-in; the reference never steps it in the
         # canonical loop) ----------------------------------------------------

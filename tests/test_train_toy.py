@@ -103,7 +103,8 @@ def test_camera_row_adam_only_touches_sampled_row():
         dq=jnp.ones(4), dt=jnp.ones(3),
         fovx=jnp.ones(()), fovy=jnp.ones(()))
     calib = CalibConfig(opt_cam=True, opt_intrinsic=True)
-    new, st2 = row_adam_update(cams, st, grads, jnp.asarray(1), calib)
+    new, st2 = row_adam_update(cams, st, grads, jnp.asarray(1), calib,
+                               jnp.asarray(0))
     assert float(jnp.abs(new.dq[0]).max()) == 0.0
     assert float(jnp.abs(new.dq[2]).max()) == 0.0
     assert float(jnp.abs(new.dq[1]).max()) > 0.0
