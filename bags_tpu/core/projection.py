@@ -56,9 +56,31 @@ def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
     Semantics of `build_scaling_rotation` + L L^T
     (`scene/gaussian_model.py:28-32`, `utils/general_utils.py:154-163`).
     """
-    R = quat_to_rotmat(quats)
-    M = R * (scale_modifier * scales)[..., None, :]  # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    s00, s01, s02, s11, s12, s22 = _covariance_entries(
+        scales, quats, scale_modifier)
+    row0 = jnp.stack([s00, s01, s02], axis=-1)
+    row1 = jnp.stack([s01, s11, s12], axis=-1)
+    row2 = jnp.stack([s02, s12, s22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _covariance_entries(scales, quats, scale_modifier=1.0):
+    """The 6 unique entries of Σ = (R S)(R S)^T, fully elementwise.
+
+    XLA lowers batched (N, 3, 3) @ (N, 3, 3) products as N tiny matmuls
+    padded onto the MXU — catastrophically slow. Expanding Σ_ij = Σ_k
+    M_ik M_jk with M = R * s elementwise keeps everything on the VPU.
+    """
+    R = quat_to_rotmat(quats)                          # (N, 3, 3)
+    M = R * (scale_modifier * scales)[..., None, :]    # R @ diag(s)
+    m0, m1, m2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]  # rows, (N, 3)
+
+    def dot3(a, b):
+        return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+                + a[..., 2] * b[..., 2])
+
+    return (dot3(m0, m0), dot3(m0, m1), dot3(m0, m2),
+            dot3(m1, m1), dot3(m1, m2), dot3(m2, m2))
 
 
 def project_gaussians(

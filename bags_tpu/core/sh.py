@@ -85,10 +85,11 @@ def eval_sh(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarr
     """
     k = num_sh_coeffs(degree)
     basis = sh_basis(degree, dirs)  # (..., k)
-    # full-f32 contraction: the view direction (hence the basis) carries
-    # pose gradients; TPU's default bf16 matmul passes would truncate them
-    return jnp.einsum("...ck,...k->...c", sh_coeffs[..., :k], basis,
-                      precision=jax.lax.Precision.HIGHEST)
+    # Elementwise multiply-reduce instead of an einsum: XLA lowers batched
+    # (C, k) x (k,) contractions as N tiny matmuls padded onto the MXU —
+    # orders of magnitude slower than this VPU form — and the elementwise
+    # form is exact f32 (the basis carries pose gradients).
+    return jnp.sum(sh_coeffs[..., :k] * basis[..., None, :], axis=-1)
 
 
 def sh_to_rgb(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
