@@ -15,6 +15,14 @@ Standard 3DGS math, re-derived:
   * 2D covariance cov2d = J W Σ W^T J^T + 0.3 I  (dilation low-pass)
   * conic = inverse of cov2d; radius = ceil(3 sqrt(λ_max))
   * pixel center via full projection and ndc2Pix: ((ndc+1)*S - 1)/2
+
+TPU-first layout (the perf-defining choice): the whole pipeline is
+structure-of-arrays — every per-Gaussian quantity is a flat (N,) vector and
+every op is (N,)-elementwise, so the VPU runs at full 128-lane utilization.
+The (N, 3)/(N, 2)/(N, 3, 3) array-of-structs forms XLA would otherwise keep
+(3 of 128 lanes used, batched 3x3 matmuls padded onto the 128x128 MXU) run
+an order of magnitude slower. The per-camera 3x3/4x4 matrices are unpacked
+into scalars once and broadcast.
 """
 
 from __future__ import annotations
@@ -28,7 +36,7 @@ import jax.numpy as jnp
 from . import sh as sh_lib
 from .camera import (CameraParams, CameraStatic, GlobalAlignment, camera_center,
                      focals, pose_w2c, projection_matrix)
-from .lie import quat_to_rotmat
+from .lie import quat_normalize
 
 # Matches the CUDA rasterizer's constants.
 FRUSTUM_NEAR = 0.2
@@ -39,14 +47,32 @@ RADIUS_SIGMA = 3.0
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Projected:
-    """Per-Gaussian screen-space quantities (all (N, ...))."""
+    """Per-Gaussian screen-space quantities, structure-of-arrays (all (N,))."""
 
-    mean2d: jnp.ndarray    # (N, 2) pixel coordinates
-    depth: jnp.ndarray     # (N,)   view-space z (sort key)
-    conic: jnp.ndarray     # (N, 3) upper triangle of inverse 2D covariance
-    radius: jnp.ndarray    # (N,)   int32 pixel radius (0 => culled)
-    color: jnp.ndarray     # (N, 3) RGB from SH (+ optional specular offset)
-    opacity: jnp.ndarray   # (N,)   activated opacity in [0, 1)
+    x2d: jnp.ndarray       # pixel x
+    y2d: jnp.ndarray       # pixel y
+    depth: jnp.ndarray     # view-space z (sort key)
+    conic_a: jnp.ndarray   # inverse 2D covariance upper triangle
+    conic_b: jnp.ndarray
+    conic_c: jnp.ndarray
+    col_r: jnp.ndarray     # RGB from SH (+ optional specular offset)
+    col_g: jnp.ndarray
+    col_b: jnp.ndarray
+    opacity: jnp.ndarray   # activated opacity in [0, 1), 0 when culled
+    radius: jnp.ndarray    # int32 pixel radius (0 => culled)
+
+    # Array-of-structs views for tests / visualization (not the hot path).
+    @property
+    def mean2d(self) -> jnp.ndarray:
+        return jnp.stack([self.x2d, self.y2d], axis=-1)
+
+    @property
+    def conic(self) -> jnp.ndarray:
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], axis=-1)
+
+    @property
+    def color(self) -> jnp.ndarray:
+        return jnp.stack([self.col_r, self.col_g, self.col_b], axis=-1)
 
 
 def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
@@ -57,30 +83,43 @@ def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
     (`scene/gaussian_model.py:28-32`, `utils/general_utils.py:154-163`).
     """
     s00, s01, s02, s11, s12, s22 = _covariance_entries(
-        scales, quats, scale_modifier)
+        scales[..., 0], scales[..., 1], scales[..., 2], quats, scale_modifier)
     row0 = jnp.stack([s00, s01, s02], axis=-1)
     row1 = jnp.stack([s01, s11, s12], axis=-1)
     row2 = jnp.stack([s02, s12, s22], axis=-1)
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def _covariance_entries(scales, quats, scale_modifier=1.0):
-    """The 6 unique entries of Σ = (R S)(R S)^T, fully elementwise.
+def _rotmat_entries(quats):
+    """Rotation-matrix entries from (N, 4) quaternions, as 9 flat (N,) arrays."""
+    q = quat_normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return ((1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)),
+            (2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)),
+            (2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)))
+
+
+def _covariance_entries(sx, sy, sz, quats, scale_modifier=1.0):
+    """The 6 unique entries of Σ = (R S)(R S)^T, fully elementwise (N,).
 
     XLA lowers batched (N, 3, 3) @ (N, 3, 3) products as N tiny matmuls
     padded onto the MXU — catastrophically slow. Expanding Σ_ij = Σ_k
     M_ik M_jk with M = R * s elementwise keeps everything on the VPU.
     """
-    R = quat_to_rotmat(quats)                          # (N, 3, 3)
-    M = R * (scale_modifier * scales)[..., None, :]    # R @ diag(s)
-    m0, m1, m2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]  # rows, (N, 3)
+    R = _rotmat_entries(quats)
+    sx = scale_modifier * sx
+    sy = scale_modifier * sy
+    sz = scale_modifier * sz
+    m = [[R[i][0] * sx, R[i][1] * sy, R[i][2] * sz] for i in range(3)]
 
     def dot3(a, b):
-        return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
-                + a[..., 2] * b[..., 2])
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-    return (dot3(m0, m0), dot3(m0, m1), dot3(m0, m2),
-            dot3(m1, m1), dot3(m1, m2), dot3(m2, m2))
+    return (dot3(m[0], m[0]), dot3(m[0], m[1]), dot3(m[0], m[2]),
+            dot3(m[1], m[1]), dot3(m[1], m[2]), dot3(m[2], m[2]))
 
 
 def project_gaussians(
@@ -106,9 +145,9 @@ def project_gaussians(
 
     Precision note: TPU's default matmul mode evaluates f32 contractions in
     bf16 passes, which degrades the pose-gradient chain to ~1-10% relative
-    error. These (N,3)x(3,3)-class matmuls are trivial FLOPs, so the whole
-    projection runs under full-f32 matmul precision (verified to bring TPU
-    pose grads to ~1e-4 of a float64 oracle).
+    error. The projection is elementwise (no matmuls) except the few 3x3
+    camera-matrix products, which run under full-f32 matmul precision
+    (verified to bring TPU pose grads to ~1e-4 of a float64 oracle).
     """
     with jax.default_matmul_precision("float32"):
         return _project_gaussians_impl(
@@ -122,10 +161,16 @@ def _project_gaussians_impl(
     cov3d_precomp=None,
 ) -> Projected:
     R_w2c, t_w2c = pose_w2c(cam, align)
+    # Unpack camera matrices to broadcast scalars once; all heavy math below
+    # is (N,)-elementwise.
+    r = [[R_w2c[i, j] for j in range(3)] for i in range(3)]
+    wx, wy, wz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
 
     # --- view space -------------------------------------------------------
-    t_view = xyz @ R_w2c.T + t_w2c  # (N, 3)
-    depth = t_view[:, 2]
+    tx = r[0][0] * wx + r[0][1] * wy + r[0][2] * wz + t_w2c[0]
+    ty = r[1][0] * wx + r[1][1] * wy + r[1][2] * wz + t_w2c[1]
+    tz = r[2][0] * wx + r[2][1] * wy + r[2][2] * wz + t_w2c[2]
+    depth = tz
     in_front = depth > FRUSTUM_NEAR
 
     # Entrance-pupil shift (fork extension, applied in-kernel in the CUDA
@@ -133,52 +178,68 @@ def _project_gaussians_impl(
     # shift_factors scaled with inverse depth before projection.
     if shift_factors is not None:
         inv_d = 1.0 / jnp.clip(depth, 1e-6)
-        t_view = t_view + shift_factors[None, :] * inv_d[:, None]
+        tx = tx + shift_factors[0] * inv_d
+        ty = ty + shift_factors[1] * inv_d
+        tz = tz + shift_factors[2] * inv_d
 
     # --- pixel projection -------------------------------------------------
     P = projection_matrix(cam.fovx, cam.fovy, static.znear, static.zfar)
-    clip = t_view @ P[:3, :3].T + P[:3, 3]
-    w_clip = t_view @ P[3, :3].T + P[3, 3]
-    ndc = clip / (w_clip[:, None] + 1e-7)
+    # Symmetric frustum: P[0] = (1/tan(fx/2), 0, 0, 0); P[1] likewise;
+    # w_clip = z (P[3] = [0,0,1,0]).
+    clip_x = P[0, 0] * tx
+    clip_y = P[1, 1] * ty
+    w_clip = tz + 1e-7
     # ndc2Pix from the CUDA rasterizer: ((v + 1) * S - 1) * 0.5
-    mean2d = jnp.stack(
-        [
-            ((ndc[:, 0] + 1.0) * static.width - 1.0) * 0.5,
-            ((ndc[:, 1] + 1.0) * static.height - 1.0) * 0.5,
-        ],
-        axis=-1,
-    )
+    x2d = ((clip_x / w_clip + 1.0) * static.width - 1.0) * 0.5
+    y2d = ((clip_y / w_clip + 1.0) * static.height - 1.0) * 0.5
 
     # --- 2D covariance (EWA) ---------------------------------------------
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp
+        s00 = cov3d_precomp[:, 0, 0]
+        s01 = cov3d_precomp[:, 0, 1]
+        s02 = cov3d_precomp[:, 0, 2]
+        s11 = cov3d_precomp[:, 1, 1]
+        s12 = cov3d_precomp[:, 1, 2]
+        s22 = cov3d_precomp[:, 2, 2]
     else:
-        cov3d = build_covariance(scales, quats, scale_modifier)
+        s00, s01, s02, s11, s12, s22 = _covariance_entries(
+            scales[:, 0], scales[:, 1], scales[:, 2], quats, scale_modifier)
     fx, fy = focals(cam, static)
-    tz = jnp.clip(depth, 1e-6)
+    tzc = jnp.clip(depth, 1e-6)
     limx = 1.3 * jnp.tan(cam.fovx * 0.5)
     limy = 1.3 * jnp.tan(cam.fovy * 0.5)
-    txz = jnp.clip(t_view[:, 0] / tz, -limx, limx)
-    tyz = jnp.clip(t_view[:, 1] / tz, -limy, limy)
+    txz = jnp.clip(tx / tzc, -limx, limx)
+    tyz = jnp.clip(ty / tzc, -limy, limy)
 
-    # J rows of d(fx x/z, fy y/z)/d(x,y,z), evaluated at clamped x/z, y/z.
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / tz, zeros, -fx * txz / tz], axis=-1),
-            jnp.stack([zeros, fy / tz, -fy * tyz / tz], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    JW = J @ R_w2c  # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
-    c00 = cov2d[:, 0, 0] + DILATION
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1] + DILATION
+    # Rows of J = d(fx x/z, fy y/z)/d(x,y,z) evaluated at clamped x/z, y/z,
+    # then JW = J @ R_w2c — two (N,) 3-vectors expressed elementwise.
+    inv_z = 1.0 / tzc
+    j00, j02 = fx * inv_z, -fx * txz * inv_z
+    j11, j12 = fy * inv_z, -fy * tyz * inv_z
+    a0 = j00 * r[0][0] + j02 * r[2][0]
+    a1 = j00 * r[0][1] + j02 * r[2][1]
+    a2 = j00 * r[0][2] + j02 * r[2][2]
+    b0 = j11 * r[1][0] + j12 * r[2][0]
+    b1 = j11 * r[1][1] + j12 * r[2][1]
+    b2 = j11 * r[1][2] + j12 * r[2][2]
+
+    # cov2d = JW Σ JW^T via Σ·v products (Σ symmetric).
+    sa0 = s00 * a0 + s01 * a1 + s02 * a2
+    sa1 = s01 * a0 + s11 * a1 + s12 * a2
+    sa2 = s02 * a0 + s12 * a1 + s22 * a2
+    sb0 = s00 * b0 + s01 * b1 + s02 * b2
+    sb1 = s01 * b0 + s11 * b1 + s12 * b2
+    sb2 = s02 * b0 + s12 * b1 + s22 * b2
+    c00 = a0 * sa0 + a1 * sa1 + a2 * sa2 + DILATION
+    c01 = b0 * sa0 + b1 * sa1 + b2 * sa2
+    c11 = b0 * sb0 + b1 * sb1 + b2 * sb2 + DILATION
 
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(det > 0, det, 1.0)
-    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=-1)
+    inv_det = 1.0 / det_safe
+    conic_a = c11 * inv_det
+    conic_b = -c01 * inv_det
+    conic_c = c00 * inv_det
 
     # --- radius & validity ------------------------------------------------
     mid = 0.5 * (c00 + c11)
@@ -189,20 +250,34 @@ def _project_gaussians_impl(
 
     # --- color from SH ----------------------------------------------------
     campos = camera_center(cam, align)
-    dirs = xyz - campos[None, :]
-    dirs = dirs / jnp.clip(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    # sh_coeffs (N, K, 3) -> eval wants (..., C, K)
-    color = sh_lib.sh_to_rgb(sh_degree, jnp.swapaxes(sh_coeffs, -1, -2), dirs)
+    dx = wx - campos[0]
+    dy = wy - campos[1]
+    dz = wz - campos[2]
+    inv_n = 1.0 / jnp.clip(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
+    dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+    # SoA SH contraction: basis values are (N,) vectors; coefficients are
+    # transposed once to (3, K, N) so every multiply-add is full-lane.
+    k = sh_lib.num_sh_coeffs(sh_degree)
+    basis = sh_lib.sh_basis(sh_degree, jnp.stack([dx, dy, dz], axis=-1))
+    shT = jnp.transpose(sh_coeffs[:, :k, :], (2, 1, 0))  # (3, k, N)
+    cols = []
+    for c in range(3):
+        acc = shT[c, 0] * basis[..., 0]
+        for i in range(1, k):
+            acc = acc + shT[c, i] * basis[..., i]
+        cols.append(jnp.maximum(acc + 0.5, 0.0))
+    col_r, col_g, col_b = cols
     if extra_color is not None:
-        color = color + extra_color
+        col_r = col_r + extra_color[:, 0]
+        col_g = col_g + extra_color[:, 1]
+        col_b = col_b + extra_color[:, 2]
 
     return Projected(
-        mean2d=mean2d,
-        depth=depth,
-        conic=conic,
-        radius=radius,
-        color=color,
+        x2d=x2d, y2d=y2d, depth=depth,
+        conic_a=conic_a, conic_b=conic_b, conic_c=conic_c,
+        col_r=col_r, col_g=col_g, col_b=col_b,
         opacity=jnp.where(valid, opacity, 0.0),
+        radius=radius,
     )
 
 

@@ -2,18 +2,21 @@
 
 Forward (per device, under `shard_map` over mesh axis 'tile'):
   1. project the LOCAL Gaussian shard (C/D Gaussians): EWA + SH — the
-     FLOP-heavy per-Gaussian work is fully sharded;
-  2. `all_gather` the projected packets (mean2d/conic/color/opacity/depth/
-     radius: 10 floats per Gaussian) along 'tile';
+     FLOP-heavy per-Gaussian work is fully sharded (structure-of-arrays, so
+     the all-gather moves exactly 11 floats per Gaussian);
+  2. `all_gather` the projected packets along 'tile';
   3. bin + depth-sort instances for the LOCAL slab of image tile rows only;
   4. composite the local tiles (Pallas or jnp backend) -> local image slab;
   5. `all_gather` slabs for the replicated photometric loss.
 
 Backward is the shard_map transpose: slab cotangents scatter back, the
 packet all-gather transposes to a reduce-scatter of per-Gaussian grads onto
-the owning shard, and pose/intrinsics grads psum — the TPU-native analogue
-of the CUDA rasterizer's atomic accumulations, with collectives XLA can
-overlap with compute.
+the owning shard, and pose/intrinsics/alignment grads psum — the TPU-native
+analogue of the CUDA rasterizer's atomic accumulations, with collectives XLA
+can overlap with compute. The densification stat channels ride the same
+probe mechanism as the single-chip path (render.py): `probe2d` and
+`abs_probe` enter replicated, so their cotangents are psum'd across the
+slab shards automatically by the transpose.
 
 Constraint: the tile-row count must divide evenly by the mesh size (pad the
 image height to D*16 multiples).
@@ -29,20 +32,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.camera import CameraParams, CameraStatic, GlobalAlignment
-from ..core.projection import Projected, project_gaussians
+from ..core.projection import project_gaussians
 from ..model.gaussians import Gaussians
 from ..raster import RenderConfig
 from ..raster import binning, tiles
+from ..raster.render import FEATS, F_ACTIVE, gather_rows
 from ..train.losses import photometric_loss
 
 
 def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                         lambda_dssim: float = 0.2):
-    """Returns loss_fn(g, alive, cam, align, probe_inst, gt) -> (loss, aux),
-    differentiable, executing tile-parallel over `mesh`.
+    """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, gt, bg) ->
+    (loss, aux), differentiable, executing tile-parallel over `mesh`.
 
-    probe_inst: (D * m_aligned_local, 2) zeros — per-instance screen probe,
-    sharded; aux contains the (C,) psum'd densification stat channels.
+    probe2d / abs_probe: (C, 2) zeros — the signed / abs densification
+    gradient channels (see render.py docstring); their gradients are the
+    psum'd per-Gaussian screen-gradient stats.
     """
     axis = mesh.axis_names[0]
     d = mesh.devices.size
@@ -50,12 +55,11 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
     assert tiles_y % d == 0, (
         f"tile rows {tiles_y} must divide mesh size {d}; pad image height")
     tiles_y_local = tiles_y // d
-    local_max_inst = rcfg.max_instances // d
-    m_aligned_local = binning.aligned_capacity(local_max_inst,
-                                               tiles_x * tiles_y_local)
+    local_max_inst = -(-(rcfg.max_instances // d) // binning.CHUNK) \
+        * binning.CHUNK
 
     def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
-                  alive, cam, align, probe_inst, gt_slab, bg):
+                  alive, cam, align, probe2d, abs_probe, gt_slab, bg):
         # 1. project the local Gaussian shard
         g_local = Gaussians(xyz=xyz, sh_dc=sh_dc, sh_rest=sh_rest,
                             scales_log=scales_log, quats=quats,
@@ -65,34 +69,26 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
             g_local.sh_coeffs(), cam, static, rcfg.sh_degree,
             align=align, scale_modifier=rcfg.scale_modifier)
 
-        # 2. all-gather projected packets
-        def ag(x):
-            return jax.lax.all_gather(x, axis, axis=0, tiled=True)
-
-        full = Projected(
-            mean2d=ag(proj.mean2d), depth=ag(proj.depth), conic=ag(proj.conic),
-            radius=ag(proj.radius), color=ag(proj.color),
-            opacity=ag(proj.opacity))
+        # 2. all-gather projected packets (SoA: one (C,) vector per field)
+        full = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), proj)
 
         # 3. bin for the local slab: shift into the slab's pixel frame
         dev = jax.lax.axis_index(axis)
-        y0_px = dev * tiles_y_local * binning.TILE
-        local_mean2d = full.mean2d - jnp.array([0.0, 1.0]) * y0_px
-        local_proj = dataclasses.replace(
-            full, mean2d=jax.lax.stop_gradient(local_mean2d))
-        bins = binning.bin_gaussians(local_proj, tiles_x, tiles_y_local,
-                                     local_max_inst)
+        y0_px = (dev * tiles_y_local * binning.TILE).astype(jnp.float32)
+        x2d = full.x2d + probe2d[:, 0]
+        y2d = full.y2d - y0_px + probe2d[:, 1]
+        bins = binning.bin_gaussians(
+            jax.lax.stop_gradient(
+                dataclasses.replace(full, x2d=x2d, y2d=y2d)),
+            tiles_x, tiles_y_local, local_max_inst)
 
-        n = full.mean2d.shape[0]
-        gid = jnp.minimum(bins.gauss_id, n - 1)
-        inst_valid = bins.gauss_id < n
-        table = jnp.concatenate(
-            [local_mean2d, full.conic, full.color, full.opacity[:, None],
-             full.depth[:, None], jnp.zeros((n, 2), local_mean2d.dtype)],
-            axis=1)
-        rows = jnp.take(table, gid, axis=0)
-        rows = rows * inst_valid[:, None].astype(rows.dtype)
-        rows = rows + jnp.pad(probe_inst, ((0, 0), (0, 10)))
+        table = jnp.stack(
+            [x2d, y2d, full.conic_a, full.conic_b, full.conic_c,
+             full.col_r, full.col_g, full.col_b, full.opacity, full.depth]
+            + [jnp.zeros_like(x2d)] * (FEATS - F_ACTIVE), axis=0)
+        table = jnp.pad(table, ((0, 0), (0, 1)))  # zero column for pad slots
+        rows = gather_rows(table, abs_probe, bins)  # (FEATS, M_aligned)
 
         # 4. composite local tiles
         if rcfg.backend == "pallas" or (
@@ -103,8 +99,9 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                 tiles_y_local, bg)
         else:
             tile_img = tiles.composite_tiles_jnp(
-                rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
-                rows[:, 9], bins.tile_start, bins.tile_count, tiles_x,
+                jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),
+                jnp.transpose(rows[5:8]), rows[8], rows[9],
+                bins.tile_start, bins.tile_count, tiles_x,
                 tiles_y_local, bg, max_per_tile=rcfg.max_per_tile)
 
         slab = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y_local,
@@ -120,59 +117,60 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         # full.radius is identical on every device (all-gathered), so the
         # visibility/radii stats replicate for free.
         aux = dict(image=full_img, radii=full.radius,
-                   n_dropped=jax.lax.psum(bins.n_dropped, axis),
-                   gauss_id=gid, inst_valid=inst_valid)
+                   n_dropped=jax.lax.psum(bins.n_dropped, axis))
         return loss, aux
 
     in_specs = (
         P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # g fields
         P(axis),                                               # alive
         P(), P(),                                              # cam, align
-        P(axis),                                               # probe_inst
+        P(), P(),                                              # probes
         P(None, axis, None),                                   # gt slab
         P(),                                                   # bg
     )
-    out_specs = (P(), dict(image=P(), radii=P(),
-                           n_dropped=P(), gauss_id=P(axis),
-                           inst_valid=P(axis)))
+    out_specs = (P(), dict(image=P(), radii=P(), n_dropped=P()))
 
     fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
 
     def loss_fn(g: Gaussians, alive, cam: CameraParams,
-                align: GlobalAlignment, probe_inst, gt, bg):
+                align: GlobalAlignment, probe2d, abs_probe, gt, bg):
         return fn(g.xyz, g.scales_log, g.quats, g.opacity_raw,
-                  g.sh_dc, g.sh_rest, alive, cam, align, probe_inst, gt, bg)
+                  g.sh_dc, g.sh_rest, alive, cam, align, probe2d, abs_probe,
+                  gt, bg)
 
-    return loss_fn, m_aligned_local * d
+    return loss_fn
 
 
 def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
-                            rcfg: RenderConfig, cfg, g_tx, sh_degree: int):
+                            rcfg: RenderConfig, cfg, g_tx, sh_degree: int,
+                            align_tx=None):
     """Full sharded train step: loss + grads for Gaussians (sharded), camera
-    pose/intrinsics and alignment (replicated), plus optimizer updates."""
+    pose/intrinsics and global alignment (replicated), plus optimizer
+    updates and densification statistics."""
     import optax
 
     from ..model.densify import update_stats
     from ..train.loop import TrainState, row_adam_update
 
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
-    loss_fn, probe_len = sharded_render_loss(mesh, static, rcfg,
-                                             cfg.opt.lambda_dssim)
+    loss_fn = sharded_render_loss(mesh, static, rcfg, cfg.opt.lambda_dssim)
 
     @jax.jit
     def step(state: TrainState, gt, cam_idx, bg):
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], state.cams)
-        probe = jnp.zeros((probe_len, 2), jnp.float32)
+        n_cap = state.g.capacity
+        probe = jnp.zeros((n_cap, 2), jnp.float32)
+        absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def wrapped(g, cam, align, probe_inst):
-            loss, aux = loss_fn(g, state.alive, cam, align, probe_inst, gt, bg)
-            return loss, aux
+        def wrapped(g, cam, align, probe2d, abs_probe):
+            return loss_fn(g, state.alive, cam, align, probe2d, abs_probe,
+                           gt, bg)
 
         (loss, aux), grads = jax.value_and_grad(
-            wrapped, argnums=(0, 1, 2, 3), has_aux=True)(
-                state.g, cam_i, state.align, probe)
-        g_grads, cam_grads, _, probe_grads = grads
+            wrapped, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+                state.g, cam_i, state.align, probe, absp)
+        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads
 
         updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g)
         new_g = optax.apply_updates(state.g, updates)
@@ -180,17 +178,21 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
             state.cams, state.cam_opt, cam_grads, cam_idx, cfg.calib,
             state.step)
 
-        n = state.g.capacity
-        signed = jax.ops.segment_sum(probe_grads, aux["gauss_id"],
-                                     num_segments=n + 1)[:n]
-        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), aux["gauss_id"],
-                                   num_segments=n + 1)[:n]
-        stats = update_stats(state.stats, signed, abs_, aux["radii"],
-                             aux["radii"] > 0)
+        if align_tx is not None and getattr(cfg.calib,
+                                            "opt_global_alignment", False):
+            a_upd, align_opt = align_tx.update(align_grads, state.align_opt,
+                                               state.align)
+            new_align = optax.apply_updates(state.align, a_upd)
+        else:
+            new_align, align_opt = state.align, state.align_opt
+
+        stats = update_stats(state.stats, signed_stat, abs_stat,
+                             aux["radii"], aux["radii"] > 0)
 
         new_state = dataclasses.replace(
             state, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
-            stats=stats, step=state.step + 1)
+            align=new_align, align_opt=align_opt, stats=stats,
+            step=state.step + 1)
         return new_state, loss
 
     return step

@@ -7,17 +7,26 @@ Gaussians, returns the rendered image plus the per-Gaussian screen-space data
 the camera parameters (dq/dt/fov) IS the bundle-adjustment path.
 
 Architecture (TPU-first, not a port):
-  * projection & SH: pure jnp over all N Gaussians (XLA-fused, MXU-friendly)
-  * binning: static-capacity instance expansion + one lax.sort (binning.py)
-  * gather of per-instance packets: differentiable jnp take -> its VJP is the
-    scatter-add that accumulates per-instance gradients back to Gaussians
-    (replacing CUDA atomics)
+  * projection & SH: structure-of-arrays jnp over all N Gaussians
+    (core/projection.py — full-lane VPU, no batched tiny matmuls)
+  * binning: static-capacity expansion + one stable u32 radix sort
+    (binning.py)
+  * gather of per-instance rows: ONE row gather from a packed (N+1, 16)
+    table, under a custom VJP whose backward reduces per-instance gradients
+    back to Gaussians with a blocked prefix-sum over the contiguous
+    per-Gaussian segments binning exposes (segsum.py) — ~30x cheaper than
+    the scatter-add XLA would emit (the CUDA reference uses atomics here)
   * compositing: Pallas fwd/bwd kernels (pallas_raster.py) or jnp fallback
 
-The screen-space "probe" input reproduces the reference's
-`screenspace_points` trick (gaussian_renderer/__init__.py:38-44): a zeros
-(N, 2) array added to the projected means so jax.grad w.r.t. it yields the
-per-Gaussian screen-space gradients used for densification.
+Densification statistics: the reference taps per-Gaussian screen-space
+gradients via a zeros `screenspace_points` input with retain_grad
+(gaussian_renderer/__init__.py:38-44) plus a second abs-channel
+(`means2D_densify`, gaussian_model.py:449-455). Here:
+  * `probe2d` (N, 2) zeros added to the projected means — its plain autodiff
+    gradient is the SIGNED per-Gaussian screen-gradient sum;
+  * `abs_probe` (N, 2) zeros threaded into the gather custom-VJP — its
+    "gradient" is harvested inside the same backward reduction as
+    sum_instances |d mean2d| (the fork's abs channel), at zero extra passes.
 """
 
 from __future__ import annotations
@@ -27,10 +36,16 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.camera import CameraParams, CameraStatic, GlobalAlignment
 from ..core.projection import distance_to_camera, project_gaussians
 from . import binning, tiles
+from .binning import TileBins
+from .segsum import segment_sum_sorted
+
+FEATS = 16  # row features: x2d y2d ca cb cc r g b o depth + 6 zero pad
+F_ACTIVE = 10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +80,43 @@ def _composite_backend(cfg: RenderConfig):
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
+# ---------------------------------------------------------------------------
+# Instance-row gather with segment-reduction backward
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_rows(table: jnp.ndarray, abs_probe: jnp.ndarray,
+                bins: TileBins) -> jnp.ndarray:
+    """Feature-major (FEATS, N+1) table -> (FEATS, M_aligned) instance rows.
+
+    Column N of the table must be zero (it backs the padding slots).
+    `abs_probe` (N, 2) is inert in the forward pass; its cotangent is defined
+    (custom VJP) as the per-Gaussian sum of |d row[0:2]| — the reference
+    fork's abs-gradient densification channel.
+    """
+    return jnp.take(table, bins.gauss_id, axis=1)
+
+
+def _gather_rows_fwd(table, abs_probe, bins):
+    rows = jnp.take(table, bins.gauss_id, axis=1)
+    return rows, bins
+
+
+def _gather_rows_bwd(bins, d_rows):
+    aug = jnp.concatenate([d_rows, jnp.abs(d_rows[0:2])], axis=0)
+    grouped = jnp.take(aug, bins.order2, axis=1)
+    by_rank = segment_sum_sorted(grouped, bins.seg_cum, bins.seg_len)
+    by_gauss = jnp.take(by_rank, bins.rank_of, axis=1)       # (FEATS+2, N)
+    d_table = jnp.pad(by_gauss[:FEATS], ((0, 0), (0, 1)))
+    d_absp = jnp.transpose(by_gauss[FEATS:FEATS + 2])
+    zeros_bins = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0), bins)
+    return d_table, d_absp, zeros_bins
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def render(
     xyz: jnp.ndarray,
     scales: jnp.ndarray,
@@ -77,7 +129,7 @@ def render(
     bg: Optional[jnp.ndarray] = None,
     align: Optional[GlobalAlignment] = None,
     probe2d: Optional[jnp.ndarray] = None,
-    probe2d_inst: Optional[jnp.ndarray] = None,
+    abs_probe: Optional[jnp.ndarray] = None,
     extra_color: Optional[jnp.ndarray] = None,
     shift_factors: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
@@ -85,15 +137,10 @@ def render(
     """Differentiable render of one camera view.
 
     probe2d: optional (N, 2) zeros; gradients w.r.t. it are the per-Gaussian
-      screen-space gradient sums (reference's `screenspace_points` trick,
-      densification stat, signed channel).
-    probe2d_inst: optional (M_aligned, 2) zeros added per *instance* after
-      the gather; its gradient yields per-tile-instance screen gradients,
-      from which BOTH densification channels derive: signed
-      |segment_sum(d)| and the fork's abs channel segment_sum(|d|)
-      (`means2D_densify`, gaussian_model.py:449-455). Use
-      `binning.aligned_capacity(cfg.max_instances, tiles_x*tiles_y)` for its
-      length; pair with the returned `gauss_id` for segment sums.
+      SIGNED screen-space gradient sums (reference's `screenspace_points`).
+    abs_probe: optional (N, 2) zeros; gradients w.r.t. it are the
+      per-Gaussian sums of per-instance |screen gradients| (the fork's
+      `means2D_densify` abs channel, gaussian_model.py:449-455).
     """
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
@@ -104,32 +151,30 @@ def render(
         extra_color=extra_color, shift_factors=shift_factors,
         cov3d_precomp=cov3d_precomp)
 
-    mean2d = proj.mean2d
+    x2d, y2d = proj.x2d, proj.y2d
     if probe2d is not None:
-        mean2d = mean2d + probe2d
+        x2d = x2d + probe2d[:, 0]
+        y2d = y2d + probe2d[:, 1]
 
     tiles_x, tiles_y = binning.tile_grid(static.width, static.height)
     sort_key = (distance_to_camera(xyz, cam, align)
                 if cfg.sort_by_distance else None)
     bins = binning.bin_gaussians(
-        dataclasses.replace(proj, mean2d=jax.lax.stop_gradient(mean2d)),
-        tiles_x, tiles_y, cfg.max_instances, sort_key_depth=sort_key)
+        jax.lax.stop_gradient(
+            dataclasses.replace(proj, x2d=x2d, y2d=y2d)),
+        tiles_x, tiles_y, _round_up(cfg.max_instances),
+        sort_key_depth=(jax.lax.stop_gradient(sort_key)
+                        if sort_key is not None else None))
 
-    # Differentiable gather into sorted instance order: ONE row gather from
-    # a packed (N, 12) table — separate per-field gathers cost ~20x more on
-    # TPU, and the VJP becomes a single fused scatter-add. Out-of-range ids
-    # (== N) clip to the last row and are zeroed by the validity mask.
     n = xyz.shape[0]
-    gid = jnp.minimum(bins.gauss_id, n - 1)
-    inst_valid = bins.gauss_id < n
-    table = jnp.concatenate(
-        [mean2d, proj.conic, proj.color, proj.opacity[:, None],
-         proj.depth[:, None], jnp.zeros((n, 2), mean2d.dtype)],
-        axis=1)                                             # (N, 12)
-    rows = jnp.take(table, gid, axis=0)
-    rows = rows * inst_valid[:, None].astype(rows.dtype)
-    if probe2d_inst is not None:
-        rows = rows + jnp.pad(probe2d_inst, ((0, 0), (0, 10)))
+    table = jnp.stack(
+        [x2d, y2d, proj.conic_a, proj.conic_b, proj.conic_c,
+         proj.col_r, proj.col_g, proj.col_b, proj.opacity, proj.depth]
+        + [jnp.zeros_like(x2d)] * (FEATS - F_ACTIVE), axis=0)
+    table = jnp.pad(table, ((0, 0), (0, 1)))     # zero column for pad slots
+    if abs_probe is None:
+        abs_probe = jnp.zeros((n, 2), jnp.float32)
+    rows = gather_rows(table, abs_probe, bins)   # (FEATS, M_aligned)
 
     backend = _composite_backend(cfg)
     if backend == "pallas":
@@ -138,8 +183,9 @@ def render(
             rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg)
     else:
         tile_img = tiles.composite_tiles_jnp(
-            rows[:, 0:2], rows[:, 2:5], rows[:, 5:8], rows[:, 8],
-            rows[:, 9], bins.tile_start, bins.tile_count, tiles_x, tiles_y,
+            jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),
+            jnp.transpose(rows[5:8]), rows[8],
+            rows[9], bins.tile_start, bins.tile_count, tiles_x, tiles_y,
             bg, max_per_tile=cfg.max_per_tile)
 
     img = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y,
@@ -162,3 +208,7 @@ def render(
         n_dropped=bins.n_dropped,
         gauss_id=bins.gauss_id,
     )
+
+
+def _round_up(m: int, k: int = binning.CHUNK) -> int:
+    return -(-m // k) * k

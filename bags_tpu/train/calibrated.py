@@ -38,7 +38,7 @@ from ..calib.vignetting import VignettingParams, vignetting_mask
 from ..core.camera import CameraParams, CameraStatic, rotate_camera_pose
 from ..model.densify import update_stats
 from ..raster import RenderConfig, render
-from ..raster.binning import aligned_capacity, tile_grid
+
 from .config import TrainConfig
 from .losses import photometric_loss
 from .loop import TrainState, Trainer, row_adam_update
@@ -177,8 +177,6 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
                             opt_lens: bool, use_vignetting: bool):
     static = setup.render_static
-    tiles_x, tiles_y = tile_grid(static.width, static.height)
-    m_aligned = aligned_capacity(rcfg.max_instances, tiles_x * tiles_y)
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     lam = cfg.opt.lambda_dssim
     apply2gt = cfg.calib.apply2gt
@@ -189,13 +187,15 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
              cam_idx: jnp.ndarray, bg: jnp.ndarray):
         b = state.base
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
-        probe = jnp.zeros((m_aligned, 2), jnp.float32)
+        n_cap = b.g.capacity
+        probe = jnp.zeros((n_cap, 2), jnp.float32)
+        absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g, cam, align, probe_inst, lens, vig, shift):
+        def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig, shift):
             out = render(
                 g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
                 g.sh_coeffs(), cam, static, rcfg, bg=bg, align=align,
-                probe2d_inst=probe_inst,
+                probe2d=probe2d, abs_probe=abs_probe,
                 shift_factors=shift if cfg.calib.opt_shift else None)
             proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
                                     1.0 / jnp.tan(cam.fovy * 0.5)])
@@ -224,10 +224,10 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             return loss, (out, image)
 
         (loss, (out, image)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6), has_aux=True)(
-                b.g, cam_i, b.align, probe, state.lens, state.vig,
+            loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7), has_aux=True)(
+                b.g, cam_i, b.align, probe, absp, state.lens, state.vig,
                 state.shift)
-        (g_grads, cam_grads, align_grads, probe_grads, lens_grads,
+        (g_grads, cam_grads, align_grads, signed_stat, abs_stat, lens_grads,
          vig_grads, shift_grads) = grads
 
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
@@ -262,12 +262,8 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
         else:
             new_shift, shift_opt = state.shift, state.shift_opt
 
-        n = b.g.capacity
-        gid = out.gauss_id
-        signed = jax.ops.segment_sum(probe_grads, gid, num_segments=n + 1)[:n]
-        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), gid,
-                                   num_segments=n + 1)[:n]
-        stats = update_stats(b.stats, signed, abs_, out.radii, out.visibility)
+        stats = update_stats(b.stats, signed_stat, abs_stat, out.radii,
+                             out.visibility)
 
         new_base = dataclasses.replace(
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
@@ -308,8 +304,6 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
                             focal_x: float, focal_y: float):
     """Five-face cubemap training (train.py:231-247, 287-323)."""
-    tiles_x, tiles_y = tile_grid(static.width, static.height)
-    m_aligned = aligned_capacity(rcfg.max_instances, tiles_x * tiles_y)
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
                                sort_by_distance=True)
     lam = cfg.opt.lambda_dssim
@@ -328,23 +322,26 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
         base poses for this camera (precomputed host-side)."""
         b = state.base
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
-        probe = jnp.zeros((m_aligned, 2), jnp.float32)
+        n_cap = b.g.capacity
+        probe = jnp.zeros((n_cap, 2), jnp.float32)
+        absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g, cam, align, probe_inst, cub_net):
+        def loss_fn(g, cam, align, probe2d, abs_probe, cub_net):
             outs = []
 
-            def one_render(c, pr):
+            def one_render(c, pr, ap):
                 return render(g.xyz, g.scaling(), g.quats,
                               g.opacity(b.alive), g.sh_coeffs(), c, static,
-                              rcfg, bg=bg, align=align, probe2d_inst=pr)
+                              rcfg, bg=bg, align=align, probe2d=pr,
+                              abs_probe=ap)
 
-            main = one_render(cam, probe_inst)
+            main = one_render(cam, probe2d, abs_probe)
             outs.append(main)
             face_renders = [main.render]
             for f in range(4):
                 sub_cam = dataclasses.replace(
                     cam, q_init=sub_q[f], t_init=sub_t[f])
-                o = one_render(sub_cam, None)
+                o = one_render(sub_cam, None, None)
                 outs.append(o)
                 face_renders.append(o.render)
 
@@ -366,9 +363,9 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
             return loss, (main, faces[0])
 
         (loss, (main, face0)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
-                b.g, cam_i, b.align, probe, state.cubemap_net)
-        g_grads, cam_grads, _, probe_grads, cub_grads = grads
+            loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
+                b.g, cam_i, b.align, probe, absp, state.cubemap_net)
+        g_grads, cam_grads, _, signed_stat, abs_stat, cub_grads = grads
 
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
         new_g = optax.apply_updates(b.g, updates)
@@ -385,12 +382,7 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
         new_cub = _apply_lr(state.cubemap_net, c_upd,
                             txs["cubemap"][1](b.step))
 
-        n = b.g.capacity
-        signed = jax.ops.segment_sum(probe_grads, main.gauss_id,
-                                     num_segments=n + 1)[:n]
-        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), main.gauss_id,
-                                   num_segments=n + 1)[:n]
-        stats = update_stats(b.stats, signed, abs_, main.radii,
+        stats = update_stats(b.stats, signed_stat, abs_stat, main.radii,
                              main.visibility)
 
         new_base = dataclasses.replace(

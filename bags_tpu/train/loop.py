@@ -32,7 +32,6 @@ from ..model.densify import (DensifyStats, densify_and_prune, reset_opacity,
                              update_stats, zero_moments_at)
 from ..model.gaussians import Gaussians
 from ..raster import RenderConfig, render
-from ..raster.binning import aligned_capacity, tile_grid
 from .config import TrainConfig
 from .losses import photometric_loss
 from .optim import (ADAM_EPS, expon_lr_schedule, make_alignment_optimizer,
@@ -140,8 +139,6 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                     align_tx: optax.GradientTransformation,
                     sh_degree: int):
     """Build the jitted train step for a fixed active SH degree."""
-    tiles_x, tiles_y = tile_grid(static.width, static.height)
-    m_aligned = aligned_capacity(rcfg.max_instances, tiles_x * tiles_y)
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     lam = cfg.opt.lambda_dssim
 
@@ -150,12 +147,14 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                    bg: jnp.ndarray):
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], state.cams)
         alive = state.alive
-        probe = jnp.zeros((m_aligned, 2), jnp.float32)
+        n_cap = state.g.capacity
+        probe = jnp.zeros((n_cap, 2), jnp.float32)
+        absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g: Gaussians, cam, align, probe_inst):
+        def loss_fn(g: Gaussians, cam, align, probe2d, abs_probe):
             out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                          g.sh_coeffs(), cam, static, rcfg, bg=bg,
-                         align=align, probe2d_inst=probe_inst)
+                         align=align, probe2d=probe2d, abs_probe=abs_probe)
             loss = photometric_loss(out.render, gt, lam)
             if cfg.mcmc:
                 # Reference means over the N *actual* Gaussians
@@ -169,9 +168,9 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
             return loss, out
 
         (loss, out), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                state.g, cam_i, state.align, probe)
-        g_grads, cam_grads, align_grads, probe_grads = grads
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+                state.g, cam_i, state.align, probe, absp)
+        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads
 
         # --- Gaussian update ------------------------------------------------
         updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g)
@@ -192,12 +191,10 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
             new_align, align_opt = state.align, state.align_opt
 
         # --- densification statistics ---------------------------------------
-        n = state.g.capacity
-        gid = out.gauss_id
-        signed = jax.ops.segment_sum(probe_grads, gid, num_segments=n + 1)[:n]
-        abs_ = jax.ops.segment_sum(jnp.abs(probe_grads), gid,
-                                   num_segments=n + 1)[:n]
-        stats = update_stats(state.stats, signed, abs_, out.radii,
+        # signed channel = grad of the per-Gaussian screen probe; abs channel
+        # harvested inside the rasterizer's gradient reduction (render.py) —
+        # no instance-level segment sums in the train step.
+        stats = update_stats(state.stats, signed_stat, abs_stat, out.radii,
                              out.visibility)
 
         l1 = jnp.mean(jnp.abs(out.render - gt))

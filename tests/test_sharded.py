@@ -41,12 +41,12 @@ def test_sharded_loss_matches_single_device(n_devices):
     gt = jnp.zeros((3, wh, wh))
     bg = jnp.zeros(3)
 
-    loss_fn, probe_len = sharded_render_loss(mesh, static, rcfg)
+    loss_fn = sharded_render_loss(mesh, static, rcfg)
     from bags_tpu.core.camera import GlobalAlignment
     align = GlobalAlignment.identity()
-    probe = jnp.zeros((probe_len, 2))
+    probe = jnp.zeros((n, 2))
     loss_sharded, aux = jax.jit(loss_fn)(g, alive, sc["cam"], align, probe,
-                                         gt, bg)
+                                         probe, gt, bg)
 
     # single-device oracle
     out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive), g.sh_coeffs(),
@@ -83,11 +83,11 @@ def test_sharded_grads_match_single_device():
     bg = jnp.zeros(3)
     align = GlobalAlignment.identity()
 
-    loss_fn, probe_len = sharded_render_loss(mesh, static, rcfg)
+    loss_fn = sharded_render_loss(mesh, static, rcfg)
 
     def sharded(g, cam):
-        probe = jnp.zeros((probe_len, 2))
-        return loss_fn(g, alive, cam, align, probe, gt, bg)[0]
+        probe = jnp.zeros((n, 2))
+        return loss_fn(g, alive, cam, align, probe, probe, gt, bg)[0]
 
     def single(g, cam):
         out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
