@@ -253,7 +253,9 @@ def _project_gaussians_impl(
     dx = wx - campos[0]
     dy = wy - campos[1]
     dz = wz - campos[2]
-    inv_n = 1.0 / jnp.clip(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-8)
+    # Clip the SQUARED norm before the sqrt: clip(sqrt(s)) has a 0*inf VJP
+    # at s == 0 (dead slot coinciding with the camera center) -> NaN grads.
+    inv_n = 1.0 / jnp.sqrt(jnp.clip(dx * dx + dy * dy + dz * dz, 1e-16))
     dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
     # SoA SH contraction: basis values are (N,) vectors; coefficients are
     # transposed once to (3, K, N) so every multiply-add is full-lane.

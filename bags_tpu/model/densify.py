@@ -89,6 +89,8 @@ def _scatter_rows(tree: Gaussians, src, dst, pair_valid,
     """Copy rows src->dst (for valid pairs) across every field, with optional
     per-field overrides (already gathered at src order)."""
     def one(name, arr):
+        if arr is None:  # optional fields (asg when --hybrid is off)
+            return None
         vals = overrides.get(name, arr[src])
         safe_dst = jnp.where(pair_valid, dst, arr.shape[0])  # OOB drops
         return arr.at[safe_dst].set(vals, mode="drop")

@@ -41,6 +41,13 @@ class Gaussians:
     scales_log: jnp.ndarray   # (C, 3)
     quats: jnp.ndarray        # (C, 4)
     opacity_raw: jnp.ndarray  # (C,)
+    # Per-Gaussian ASG specular features for the --hybrid path (C, 24);
+    # None when hybrid is off (the None collapses out of the pytree, so
+    # non-hybrid training is untouched). The reference *intends* these on
+    # the splats (GaussianModel(..., asg_degree), render.py:136
+    # `gaussians.get_asg_features`) but the snapshot never stores them —
+    # this implements the intended design (like MCMC, SURVEY.md §2.4).
+    asg: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
@@ -59,6 +66,11 @@ class Gaussians:
 
     def sh_coeffs(self) -> jnp.ndarray:
         return jnp.concatenate([self.sh_dc, self.sh_rest], axis=1)  # (C, K, 3)
+
+    def with_asg(self, dim: int = 24) -> "Gaussians":
+        """Attach zero-initialized ASG specular features (--hybrid)."""
+        return dataclasses.replace(
+            self, asg=jnp.zeros((self.capacity, dim), jnp.float32))
 
 
 def inverse_sigmoid(x):

@@ -119,6 +119,7 @@ def relocate_dead(g: Gaussians, alive: jnp.ndarray, key,
         scales_log=move(g.scales_log, new_s_log),
         quats=move(g.quats),
         opacity_raw=move(g.opacity_raw, new_o_raw),
+        asg=None if g.asg is None else move(g.asg),
     )
     # sources also take the merged opacity/scale (gaussian_model.py:541-542)
     touched_src = jnp.zeros((c,), bool).at[jnp.where(pair_valid, src_safe, c)] \
@@ -169,7 +170,8 @@ def add_new_gaussians(g: Gaussians, alive: jnp.ndarray, key,
     g2 = Gaussians(
         xyz=move(g.xyz), sh_dc=move(g.sh_dc), sh_rest=move(g.sh_rest),
         scales_log=move(g.scales_log, new_s_log), quats=move(g.quats),
-        opacity_raw=move(g.opacity_raw, new_o_raw))
+        opacity_raw=move(g.opacity_raw, new_o_raw),
+        asg=None if g.asg is None else move(g.asg))
     touched_src = jnp.zeros((c,), bool).at[jnp.where(pair_valid, src_safe, c)] \
         .set(True, mode="drop")
     g2 = dataclasses.replace(

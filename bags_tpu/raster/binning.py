@@ -22,11 +22,13 @@ keys, no searchsorted over instances, no per-tile cumsum grids):
      (tile|depth) radix sort, for free) and padding stays behind them, so the
      output lands directly in the CHUNK-aligned layout the Pallas kernels
      DMA from.
-  5. A second tiny stable sort by rank yields `order2`, the permutation that
-     groups instance slots contiguously per Gaussian — the backward pass uses
-     it to reduce per-instance gradients with a blocked prefix-sum instead of
-     a scatter-add (see render.py), which is the single biggest perf delta vs
-     a CUDA-style atomics design.
+  5. A second stable sort by rank yields `order2`, the permutation that
+     groups instance slots contiguously per Gaussian — the backward pass
+     reduces per-instance gradients with a blocked prefix-sum over those
+     contiguous segments (segsum.py). Measured against the alternatives on
+     v5e at 1.37M slots: order2-sort (4.1 ms) + grouped gather (3.7 ms) +
+     prefix (9 ms) beats XLA's scatter-add (23 ms) and sorted segment_sum
+     (14.5 ms). `rank_of` lands the reduced rows back in Gaussian order.
 
 Everything is int32/u32/f32 arrays of static shape.
 """
@@ -45,16 +47,30 @@ CHUNK = 128  # instance-segment alignment = Pallas chunk size (TPU lane width)
 
 
 class TileBins(NamedTuple):
-    gauss_id: jnp.ndarray    # (M_aligned,) int32 slot -> Gaussian index (N if padding)
+    rank_sorted: jnp.ndarray  # (M_aligned,) int32 slot -> depth rank (N if padding)
+    depth_order: jnp.ndarray  # (N,) int32 rank -> Gaussian index
     tile_start: jnp.ndarray  # (T,) int32 CHUNK-aligned first slot of each tile
     tile_count: jnp.ndarray  # (T,) int32 true (unpadded) instance count per tile
     n_instances: jnp.ndarray  # () int32 number of valid instances
     n_dropped: jnp.ndarray   # () int32 instances dropped due to capacity
-    # --- gradient-reduction aux (consumed by render.py's custom VJP) -------
+    rank_of: jnp.ndarray     # (N,) int32 gaussian -> depth rank
+    # --- gradient-reduction aux (consumed by render.py's custom VJP; DCE'd
+    # from forward-only graphs) ---------------------------------------------
     order2: jnp.ndarray      # (M_aligned,) int32: rank-grouped pos -> slot
     seg_cum: jnp.ndarray     # (N,) int32 inclusive cumsum of kept ntiles, rank order
     seg_len: jnp.ndarray     # (N,) int32 kept ntiles per rank
-    rank_of: jnp.ndarray     # (N,) int32 gaussian -> depth rank
+
+    @property
+    def gauss_id(self) -> jnp.ndarray:
+        """(M_aligned,) slot -> Gaussian index (N = padding). Derived view for
+        tests/tools — the hot path indexes rank-permuted tables by
+        `rank_sorted` directly (a flat (M,) gather from a small table costs
+        ~8 ns/element on TPU; composing it into the feature-row gather is
+        free)."""
+        n = self.depth_order.shape[0]
+        dop = jnp.concatenate(
+            [self.depth_order, jnp.full((1,), n, jnp.int32)])
+        return jnp.take(dop, self.rank_sorted)
 
 
 def tile_grid(width: int, height: int) -> tuple[int, int]:
@@ -105,7 +121,8 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     dkey = jnp.where(ntiles > 0, depth_src.astype(jnp.float32), jnp.inf)
     iota_n = jnp.arange(n, dtype=jnp.int32)
     _, depth_order = jax.lax.sort((dkey, iota_n), num_keys=1)
-    _, rank_of = jax.lax.sort((depth_order, iota_n), num_keys=1)
+    # rank_of = depth_order^-1: a unique-index scatter beats a second sort.
+    rank_of = jnp.zeros((n,), jnp.int32).at[depth_order].set(iota_n)
 
     ntiles_r = jnp.take(ntiles, depth_order)
     # pack rect as u32 x0:11 | y0:11 | nx:10 so the slot expansion gathers one row
@@ -168,27 +185,32 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     all_tile = jnp.concatenate([tile_id, pad_tile_id]).astype(jnp.uint32)
     all_rank = jnp.concatenate(
         [rank, jnp.full((n_pad_slots,), n, jnp.int32)])
-    _, rank_sorted = jax.lax.sort((all_tile, all_rank), num_keys=1)
+    if num_tiles < 4095 and n < (1 << 20):
+        # Pack (tile:12 | rank:20) into ONE u32 key — a key-only sort beats
+        # key+payload by ~15%. Rank order within a tile is preserved by the
+        # key itself (rank occupies the low bits).
+        packed = (all_tile << 20) | all_rank.astype(jnp.uint32)
+        packed = jax.lax.sort(packed)
+        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+    else:
+        _, rank_sorted = jax.lax.sort((all_tile, all_rank), num_keys=1)
     rank_sorted = rank_sorted[:m_aligned]
 
     # --- 5. rank-grouping permutation for the gradient reduction -----------
     _, order2 = jax.lax.sort(
         (rank_sorted, jnp.arange(m_aligned, dtype=jnp.int32)), num_keys=1)
 
-    depth_order_pad = jnp.concatenate(
-        [depth_order, jnp.full((1,), n, jnp.int32)])
-    gauss_id = jnp.take(depth_order_pad, jnp.minimum(rank_sorted, n))
-
     return TileBins(
-        gauss_id=gauss_id,
+        rank_sorted=rank_sorted,
+        depth_order=depth_order,
         tile_start=aligned_start,
         tile_count=tile_count,
         n_instances=jnp.minimum(total, m),
         n_dropped=n_dropped,
+        rank_of=rank_of,
         order2=order2,
         seg_cum=seg_cum.astype(jnp.int32),
         seg_len=seg_len.astype(jnp.int32),
-        rank_of=rank_of,
     )
 
 

@@ -30,7 +30,7 @@ TPU-first design decisions (NOT a CUDA translation):
     — the 4-channel suffix the CUDA kernel tracks back-to-front collapses to
     ONE scalar scan because the image cotangent g is constant across the
     chunk. No back-to-front pass, no atomics; per-Gaussian reduction happens
-    upstream in segsum.py.
+    upstream in render.py's gather VJP.
 
 Numerical semantics match `reference.py`/`tiles.py` exactly (alpha clamp
 0.99, skip alpha < 1/255, termination when T would drop below 1e-4, the
@@ -62,21 +62,41 @@ def _interpret() -> bool:
     return os.environ.get("BAGS_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+# Mosaic supports only DEFAULT (bf16) and HIGHEST (exact-f32 passes) dot
+# precisions; transmittance math needs f32, so HIGHEST.
+_MM_PREC = jax.lax.Precision.HIGHEST
+
+
 def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
-    """Prefix sum along axis 1 (lanes) of (NPIX, K) — Hillis-Steele scan
-    built from `pltpu.roll` shift-adds. Exact in f32 (unlike a triangular
-    matmul, whose bf16 MXU passes or 6-pass HIGHEST mode cost precision or
-    throughput; Mosaic has no cumsum lowering)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    s = 1
-    while s < K:
-        shifted = pltpu.roll(x, shift=s, axis=1)
-        x = x + jnp.where(lanes >= s, shifted, 0.0)
-        s *= 2
-    if exclusive:
-        shifted = pltpu.roll(x, shift=1, axis=1)
-        x = jnp.where(lanes >= 1, shifted, 0.0)
-    return x
+    """Prefix sum along axis 1 (lanes) of (NPIX, K) as ONE triangular
+    (NPIX, K) x (K, K) matmul on the MXU (f32 HIGHEST — exact-f32 passes),
+    freeing the VPU (the kernel's bottleneck) of the 21-op Hillis-Steele
+    shift-add scan. Mosaic has no cumsum lowering."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = ((r < c) if exclusive else (r <= c)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MM_PREC)
+
+
+def _lane_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """(NPIX, K) -> (NPIX, 1) row sums on the MXU (ones matvec)."""
+    ones = jnp.ones((K, 1), jnp.float32)
+    return jax.lax.dot_general(
+        x, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MM_PREC)
+
+
+def _pix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """(NPIX, K) -> (1, K) column sums on the MXU (ones vecmat)."""
+    ones = jnp.ones((1, NPIX), jnp.float32)
+    return jax.lax.dot_general(
+        ones, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MM_PREC)
 
 
 def _chunk_forward(chunk, px, py, t_run, done, valid):
@@ -85,11 +105,12 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     chunk: (FEATS, K); px/py: (NPIX, 1); t_run/done: (NPIX, 1);
     valid: (1, K).
 
-    One scan + two reductions: t_before comes from the exclusive prefix of
-    log(1-a) over ALL candidate alphas; the termination index kidx is the
-    first i with t_before*(1-a_i) < eps; every included Gaussian (i < kidx)
-    has a_inc == a, so t_before is already its inclusive-path transmittance
-    and the second scan of the round-1 kernel is redundant.
+    One MXU scan, no index search: t_before comes from the exclusive prefix
+    of log(1-a) over ALL candidate alphas. Because t_before is non-increasing
+    along the lane axis, every Gaussian at-or-after the terminating one with
+    a > 0 also trips the kill test, so `include = ok & ~kill & ~done` equals
+    the CUDA "first-kill cuts the stream" semantics exactly — no
+    first-kill-index min-reduction needed.
     """
     mx = chunk[R_MX:R_MX + 1, :]       # (1, K)
     my = chunk[R_MY:R_MY + 1, :]
@@ -101,7 +122,8 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     dx = px - mx                       # (NPIX, K)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    expp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, op * expp)
     ok = (alpha >= ALPHA_MIN) & (power <= 0.0) & valid
     a = jnp.where(ok, alpha, 0.0)
 
@@ -111,16 +133,14 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     # The Gaussian that trips the termination test is itself EXCLUDED from
     # compositing (CUDA: `if (test_T < 0.0001) { done = true; continue; }`).
     kill = (a > 0.0) & (t_before * (1.0 - a) < T_EPS)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    kidx = jnp.min(jnp.where(kill, lanes, K), axis=1, keepdims=True)  # (NPIX, 1)
-    include = (lanes < kidx) & (a > 0.0) & (done < 0.5)
+    include = ok & jnp.logical_not(kill) & (done < 0.5)
 
     w = jnp.where(include, a * t_before, 0.0)       # (NPIX, K)
-    log_sum_inc = jnp.sum(jnp.where(include, log_om, 0.0), axis=1,
-                          keepdims=True)
+    log_sum_inc = _lane_sum(jnp.where(include, log_om, 0.0))
     t_run_new = t_run * jnp.exp(log_sum_inc)
-    done_new = jnp.maximum(done, (kidx < K).astype(jnp.float32))
-    return dict(dx=dx, dy=dy, power=power, a=a, w=w,
+    n_kill = _lane_sum(kill.astype(jnp.float32))
+    done_new = jnp.maximum(done, (n_kill > 0.0).astype(jnp.float32))
+    return dict(dx=dx, dy=dy, expp=expp, a=a, w=w,
                 t_before=t_before, include=include,
                 t_run=t_run_new, done=done_new)
 
@@ -175,6 +195,13 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
     def body(carry):
         i, acc, t_run, done = carry
         slot = jax.lax.rem(i, 2)
+
+        # Eager prefetch: chunk i+1's DMA is in flight while chunk i computes
+        # (drained after the loop if early termination strands it).
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma(1 - slot, i + 1).start()
+
         dma(slot, i).wait()
         chunk = scratch[slot]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
@@ -184,18 +211,20 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
         acc = acc + jax.lax.dot_general(
             _color4(chunk), f["w"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-
-        @pl.when((i + 1 < n_chunks) & (jnp.min(f["done"]) < 0.5))
-        def _():
-            dma(1 - slot, i + 1).start()
+            precision=_MM_PREC)
 
         return i + 1, acc, f["t_run"], f["done"]
 
     acc0 = jnp.zeros((4, NPIX), jnp.float32)
     t0 = jnp.ones((NPIX, 1), jnp.float32)
     d0 = jnp.zeros((NPIX, 1), jnp.float32)
-    _, acc, t_run, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0, t0, d0))
+    i_end, acc, t_run, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc0, t0, d0))
+    # Drain the prefetch stranded by early termination.
+    @pl.when(i_end < n_chunks)
+    def _():
+        dma(jax.lax.rem(i_end, 2), i_end).wait()
+
     out_color[0] = acc
     out_t[0] = t_run
 
@@ -235,10 +264,21 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     def _():
         dma_in(0, 0).start()
 
-    def body(i, carry):
-        t_run, done, prefix = carry
+    g_t_tfin = g_t * t_final        # (NPIX, 1) hoisted
+
+    # Early termination mirrors the forward: once every pixel is saturated
+    # the remaining chunks contribute exactly zero gradient, so the compute
+    # loop stops and a cheap second loop zero-fills their output slabs
+    # (they must still be written — the output buffer is uninitialized).
+    def cond(carry):
+        i, t_run, done, prefix = carry
+        return (i < n_chunks) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        i, t_run, done, prefix = carry
         slot = jax.lax.rem(i, 2)
 
+        # Eager prefetch (drained after the loop on early termination).
         @pl.when(i + 1 < n_chunks)
         def _():
             dma_in(1 - slot, i + 1).start()
@@ -253,9 +293,10 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         valid = (i * K + lanes) < count
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
+
         w, include, t_before = f["w"], f["include"], f["t_before"]
         a_inc = jnp.where(include, f["a"], 0.0)
-        one_minus = jnp.maximum(1.0 - a_inc, 1e-6)
+        inv_om = 1.0 / jnp.maximum(1.0 - a_inc, 1e-6)
 
         # gdotcolor_i = sum_c g_c color_ci : (NPIX, K) from 4 rank-1 FMAs.
         gdotcolor = (chunk[R_R:R_R + 1, :] * g[:, 0:1]
@@ -268,32 +309,35 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         suffix = g_dot_ctotal - prefix_in
 
         # dL/dalpha_i = gdotcolor_i T_i - suffix_i/(1-a_i) - g_T T_fin/(1-a_i)
-        d_alpha = gdotcolor * t_before - suffix / one_minus \
-            - g_t * t_final / one_minus
+        d_alpha = gdotcolor * t_before - (suffix + g_t_tfin) * inv_om
         d_alpha = jnp.where(include, d_alpha, 0.0)
 
         # Chain to packet fields. alpha = min(0.99, o * G), G = exp(power).
         op = chunk[R_O:R_O + 1, :]
-        G = jnp.exp(f["power"])
-        unclamped = (op * G) < ALPHA_MAX
-        d_aG = jnp.where(unclamped, d_alpha, 0.0)
-        d_o = jnp.sum(d_aG * G, axis=0, keepdims=True)         # (1, K)
-        d_power = d_aG * op * G
+        G = f["expp"]
+        d_aG = jnp.where((op * G) < ALPHA_MAX, d_alpha, 0.0)
+        d_power = d_aG * (op * G)
         dx, dy = f["dx"], f["dy"]
+        px_ = dx * d_power
+        py_ = dy * d_power
+        # All six per-instance reductions ride the MXU (ones vecmats); the
+        # mean2d grads use d_mx = sum((ca dx + cb dy) d_power) = ca S_x +
+        # cb S_y so d_dx/d_dy are never materialized.
+        d_o = _pix_sum(d_aG * G)                               # (1, K)
+        d_ca = -0.5 * _pix_sum(px_ * dx)
+        d_cb = -_pix_sum(px_ * dy)
+        d_cc = -0.5 * _pix_sum(py_ * dy)
+        s_x = _pix_sum(px_)
+        s_y = _pix_sum(py_)
         ca = chunk[R_CA:R_CA + 1, :]
         cb = chunk[R_CB:R_CB + 1, :]
         cc = chunk[R_CC:R_CC + 1, :]
-        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
-        d_dx = -(ca * dx + cb * dy) * d_power
-        d_dy = -(cc * dy + cb * dx) * d_power
-        d_mx = jnp.sum(-d_dx, axis=0, keepdims=True)           # dx = px - mx
-        d_my = jnp.sum(-d_dy, axis=0, keepdims=True)
+        d_mx = ca * s_x + cb * s_y
+        d_my = cc * s_y + cb * s_x
         d_col = jax.lax.dot_general(                           # (4, K)
             g, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_MM_PREC)
 
         zeros = jnp.zeros((FEATS - 10, K), jnp.float32)
         dchunk = jnp.concatenate(
@@ -302,12 +346,34 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         dscratch[slot] = dchunk
         dma_out(slot, i).start()
 
-        return f["t_run"], f["done"], prefix_in[:, K - 1:K]
+        return i + 1, f["t_run"], f["done"], prefix_in[:, K - 1:K]
 
     t0 = jnp.ones((NPIX, 1), jnp.float32)
     d0 = jnp.zeros((NPIX, 1), jnp.float32)
     p0 = jnp.zeros((NPIX, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_chunks, body, (t0, d0, p0))
+    i_end, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, d0, p0))
+
+    # Drain the input prefetch stranded by early termination.
+    @pl.when(i_end < n_chunks)
+    def _():
+        dma_in(jax.lax.rem(i_end, 2), i_end).wait()
+
+    # Zero-fill loop for early-terminated chunks (same slot rotation, so the
+    # in-flight output DMA bookkeeping below stays uniform).
+    def zbody(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j >= 2)
+        def _():
+            dma_out(slot, j - 2).wait()
+
+        dscratch[slot] = jnp.zeros((FEATS, K), jnp.float32)
+        dma_out(slot, j).start()
+        return 0
+
+    jax.lax.fori_loop(i_end, n_chunks, zbody, 0)
+
     # Drain outstanding output DMAs.
     @pl.when(n_chunks >= 2)
     def _():

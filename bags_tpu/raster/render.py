@@ -11,11 +11,12 @@ Architecture (TPU-first, not a port):
     (core/projection.py — full-lane VPU, no batched tiny matmuls)
   * binning: static-capacity expansion + one stable u32 radix sort
     (binning.py)
-  * gather of per-instance rows: ONE row gather from a packed (N+1, 16)
-    table, under a custom VJP whose backward reduces per-instance gradients
-    back to Gaussians with a blocked prefix-sum over the contiguous
-    per-Gaussian segments binning exposes (segsum.py) — ~30x cheaper than
-    the scatter-add XLA would emit (the CUDA reference uses atomics here)
+  * gather of per-instance rows: ONE feature-major row gather from a packed
+    (16, N+1) table permuted to depth-rank order, under a custom VJP whose
+    backward reduces per-instance gradients back to Gaussians with a blocked
+    prefix-sum over the contiguous per-Gaussian segments binning exposes
+    (segsum.py) and harvests the abs densification channel in the same pass
+    (the CUDA reference uses atomics here)
   * compositing: Pallas fwd/bwd kernels (pallas_raster.py) or jnp fallback
 
 Densification statistics: the reference taps per-Gaussian screen-space
@@ -84,6 +85,17 @@ def _composite_backend(cfg: RenderConfig):
 # Instance-row gather with segment-reduction backward
 # ---------------------------------------------------------------------------
 
+def _take_rows(table: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
+    """Permute table columns to depth-rank order (cheap (F, N) gather), then
+    gather instance rows by `rank_sorted`. Equivalent to indexing by
+    `gauss_id`, but never materializes the (M,) gauss_id array — a flat
+    1-D gather over M costs ~8 ns/element on TPU (~11 ms at 2^20)."""
+    n = bins.depth_order.shape[0]
+    dop = jnp.concatenate([bins.depth_order, jnp.full((1,), n, jnp.int32)])
+    table_r = jnp.take(table, dop, axis=1)          # (F, N+1) rank order
+    return jnp.take(table_r, bins.rank_sorted, axis=1)
+
+
 @jax.custom_vjp
 def gather_rows(table: jnp.ndarray, abs_probe: jnp.ndarray,
                 bins: TileBins) -> jnp.ndarray:
@@ -94,21 +106,31 @@ def gather_rows(table: jnp.ndarray, abs_probe: jnp.ndarray,
     (custom VJP) as the per-Gaussian sum of |d row[0:2]| — the reference
     fork's abs-gradient densification channel.
     """
-    return jnp.take(table, bins.gauss_id, axis=1)
+    return _take_rows(table, bins)
 
 
 def _gather_rows_fwd(table, abs_probe, bins):
-    rows = jnp.take(table, bins.gauss_id, axis=1)
-    return rows, bins
+    return _take_rows(table, bins), bins
 
 
 def _gather_rows_bwd(bins, d_rows):
-    aug = jnp.concatenate([d_rows, jnp.abs(d_rows[0:2])], axis=0)
+    """Per-Gaussian reduction of per-instance gradient rows: permute into
+    rank-grouped order (`order2`), blocked-prefix segment-sum over the
+    contiguous per-Gaussian segments (segsum.py), land in Gaussian order via
+    `rank_of`. Measured fastest on v5e vs XLA scatter-add / sorted
+    segment_sum (see binning.py module docstring). Only the F_ACTIVE live
+    rows + the 2 abs channels ride it; pad rows are identically zero. The
+    abs channels realize the reference fork's `means2D_densify`
+    densification stat (gaussian_model.py:449-455) in the same pass.
+    """
+    aug = jnp.concatenate(
+        [d_rows[:F_ACTIVE], jnp.abs(d_rows[0:2])], axis=0)   # (12, M)
     grouped = jnp.take(aug, bins.order2, axis=1)
     by_rank = segment_sum_sorted(grouped, bins.seg_cum, bins.seg_len)
-    by_gauss = jnp.take(by_rank, bins.rank_of, axis=1)       # (FEATS+2, N)
-    d_table = jnp.pad(by_gauss[:FEATS], ((0, 0), (0, 1)))
-    d_absp = jnp.transpose(by_gauss[FEATS:FEATS + 2])
+    by_gauss = jnp.take(by_rank, bins.rank_of, axis=1)       # (12, N)
+    d_table = jnp.pad(by_gauss[:F_ACTIVE],
+                      ((0, FEATS - F_ACTIVE), (0, 1)))
+    d_absp = jnp.transpose(by_gauss[F_ACTIVE:F_ACTIVE + 2])
     zeros_bins = jax.tree_util.tree_map(
         lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0), bins)
     return d_table, d_absp, zeros_bins

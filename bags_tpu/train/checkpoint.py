@@ -10,11 +10,14 @@ Capability parity with the reference's three artifact families (SURVEY.md §5):
       shift/specular, train.py:490-494) — stored in the same npz when a
       CalibState wraps the TrainState.
 
-Implementation: tree_flatten to ordered leaves in one .npz; restore
-unflattens against a freshly-constructed template state, so the format is
-backend/topology independent (and re-shards on load under any mesh).
-`load_iteration=-1` resolves to the max saved iteration
-(utils/system_utils.py:28-30 semantics).
+Implementation (format v2): leaves are stored BY PYTREE PATH
+("v2|.g.xyz", "v2|.g_opt[0]...") in one .npz, so adding/reordering state
+fields can never silently misassign arrays — restore matches by name against
+a freshly-constructed template state and reports exactly which leaves are
+missing or extra. Format is backend/topology independent (re-shards on load
+under any mesh). Legacy positional v1 checkpoints (anonymous `leaf_NNNNN`)
+are still readable when the leaf count matches. `load_iteration=-1`
+resolves to the max saved iteration (utils/system_utils.py:28-30).
 """
 
 from __future__ import annotations
@@ -26,24 +29,49 @@ from typing import Any
 import jax
 import numpy as np
 
+FORMAT_VERSION = 2
+_PREFIX = "v2|"
+
+
+def _named_leaves(tree: Any):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [(jax.tree_util.keystr(kp), leaf) for kp, leaf in flat]
+
 
 def save_checkpoint(path: str, state: Any) -> None:
-    leaves = jax.tree_util.tree_leaves(state)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **{f"leaf_{i:05d}": np.asarray(l)
-                      for i, l in enumerate(leaves)})
+    arrays = {_PREFIX + name: np.asarray(leaf)
+              for name, leaf in _named_leaves(state)}
+    np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str, template: Any) -> Any:
+    import jax.numpy as jnp
+
     data = np.load(path)
     treedef = jax.tree_util.tree_structure(template)
-    tpl_leaves = jax.tree_util.tree_leaves(template)
-    leaves = [data[f"leaf_{i:05d}"] for i in range(len(data.files))]
-    assert len(leaves) == len(tpl_leaves), (
-        f"checkpoint has {len(leaves)} leaves, template {len(tpl_leaves)}")
-    import jax.numpy as jnp
+    named = _named_leaves(template)
+
+    if any(f.startswith(_PREFIX) for f in data.files):
+        by_name = {f[len(_PREFIX):]: f for f in data.files
+                   if f.startswith(_PREFIX)}
+        missing = [n for n, _ in named if n not in by_name]
+        extra = sorted(set(by_name) - {n for n, _ in named})
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} is missing leaves {missing[:8]}"
+                + (f" (+{len(missing) - 8} more)" if len(missing) > 8 else "")
+                + (f"; it has extra leaves {extra[:8]}" if extra else ""))
+        leaves = [data[by_name[n]] for n, _ in named]
+    else:
+        # Legacy v1: anonymous positional leaves.
+        leaves = [data[f"leaf_{i:05d}"] for i in range(len(data.files))]
+        assert len(leaves) == len(named), (
+            f"legacy checkpoint has {len(leaves)} leaves, "
+            f"template {len(named)}")
+
     cast = [jnp.asarray(l, tpl.dtype if hasattr(tpl, "dtype") else None)
-            for l, tpl in zip(leaves, tpl_leaves)]
+            for l, (_, tpl) in zip(leaves, named)]
     return jax.tree_util.tree_unflatten(treedef, cast)
 
 

@@ -65,6 +65,8 @@ class OptimizationConfig:
     noise_lr: float = 5e5
     scale_reg: float = 0.01
     opacity_reg: float = 0.01
+    # Specular MLP schedule horizon (arguments/__init__.py:81)
+    specular_lr_max_steps: int = 30_000
 
 
 @dataclasses.dataclass

@@ -125,6 +125,9 @@ class TrainState:
     stats: DensifyStats
     step: jnp.ndarray
     key: jnp.ndarray
+    # --hybrid specular MLP (None when off; None collapses out of the tree)
+    spec: Optional[object] = None          # calib.specular.SpecularParams
+    spec_opt: Optional[optax.OptState] = None
 
 
 class StepMetrics(NamedTuple):
@@ -137,10 +140,12 @@ class StepMetrics(NamedTuple):
 def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                     cfg: TrainConfig, g_tx: optax.GradientTransformation,
                     align_tx: optax.GradientTransformation,
-                    sh_degree: int):
+                    sh_degree: int,
+                    spec_tx: optax.GradientTransformation | None = None):
     """Build the jitted train step for a fixed active SH degree."""
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     lam = cfg.opt.lambda_dssim
+    hybrid = cfg.calib.hybrid
 
     @jax.jit
     def train_step(state: TrainState, gt: jnp.ndarray, cam_idx: jnp.ndarray,
@@ -151,10 +156,24 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         probe = jnp.zeros((n_cap, 2), jnp.float32)
         absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g: Gaussians, cam, align, probe2d, abs_probe):
+        def loss_fn(g: Gaussians, cam, align, probe2d, abs_probe, spec):
+            extra = None
+            if hybrid:
+                # Specular ASG color offset added to the SH color — the
+                # intended `mlp_color` path (gaussian_renderer/__init__.py:
+                # 90-95, render.py:130-136).
+                from ..calib.specular import specular_color
+                from ..core.camera import camera_center
+                campos = camera_center(cam, align)
+                dirs = g.xyz - campos[None, :]
+                # clip BEFORE sqrt: avoids 0*inf -> NaN VJP at zero norm
+                dirs = dirs / jnp.sqrt(jnp.clip(
+                    jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
+                extra = specular_color(spec, g.asg, dirs)
             out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                          g.sh_coeffs(), cam, static, rcfg, bg=bg,
-                         align=align, probe2d=probe2d, abs_probe=abs_probe)
+                         align=align, probe2d=probe2d, abs_probe=abs_probe,
+                         extra_color=extra)
             loss = photometric_loss(out.render, gt, lam)
             if cfg.mcmc:
                 # Reference means over the N *actual* Gaussians
@@ -167,14 +186,23 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                     jnp.abs(g.scaling() * alive[:, None])) / (3.0 * n_alive)
             return loss, out
 
+        argnums = (0, 1, 2, 3, 4, 5) if hybrid else (0, 1, 2, 3, 4)
         (loss, out), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
-                state.g, cam_i, state.align, probe, absp)
-        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads
+            loss_fn, argnums=argnums, has_aux=True)(
+                state.g, cam_i, state.align, probe, absp, state.spec)
+        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads[:5]
 
         # --- Gaussian update ------------------------------------------------
         updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g)
         new_g = optax.apply_updates(state.g, updates)
+
+        # --- specular MLP update (--hybrid) ---------------------------------
+        if hybrid:
+            s_upd, spec_opt = spec_tx.update(grads[5], state.spec_opt,
+                                             state.spec)
+            new_spec = optax.apply_updates(state.spec, s_upd)
+        else:
+            new_spec, spec_opt = state.spec, state.spec_opt
 
         # --- camera update (only the sampled row) ---------------------------
         new_cams, cam_opt = row_adam_update(
@@ -201,7 +229,7 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         new_state = dataclasses.replace(
             state, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
             align=new_align, align_opt=align_opt, stats=stats,
-            step=state.step + 1)
+            step=state.step + 1, spec=new_spec, spec_opt=spec_opt)
         metrics = StepMetrics(loss=loss, l1=l1,
                               n_alive=jnp.sum(alive),
                               n_dropped=out.n_dropped)
@@ -302,9 +330,19 @@ def opacity_reset_step(state: TrainState):
 def init_train_state(g: Gaussians, alive, cams: CameraParams,
                      cfg: TrainConfig, spatial_lr_scale: float,
                      seed: int = 0):
-    g_tx = make_gaussian_optimizer(cfg.opt, spatial_lr_scale)
+    hybrid = cfg.calib.hybrid
+    if hybrid and g.asg is None:
+        g = g.with_asg()
+    g_tx = make_gaussian_optimizer(cfg.opt, spatial_lr_scale, hybrid=hybrid)
     align_tx = make_alignment_optimizer(cfg.calib)
     align = GlobalAlignment.identity()
+    spec = spec_opt = spec_tx = None
+    if hybrid:
+        from ..calib.specular import init_specular_params
+        from .optim import make_specular_optimizer
+        spec = init_specular_params(seed)
+        spec_tx = make_specular_optimizer(cfg.opt)
+        spec_opt = spec_tx.init(spec)
     state = TrainState(
         g=g, alive=alive,
         g_opt=g_tx.init(g),
@@ -315,8 +353,10 @@ def init_train_state(g: Gaussians, alive, cams: CameraParams,
         stats=DensifyStats.zeros(g.capacity),
         step=jnp.zeros((), jnp.int32),
         key=jax.random.PRNGKey(seed),
+        spec=spec,
+        spec_opt=spec_opt,
     )
-    return state, g_tx, align_tx
+    return state, g_tx, align_tx, spec_tx
 
 
 class Trainer:
@@ -336,7 +376,7 @@ class Trainer:
         self.bg = bg if bg is not None else (
             jnp.ones(3) if cfg.model.white_background else jnp.zeros(3))
         self.rcfg = rcfg or RenderConfig(max_instances=cfg.max_instances)
-        self.state, self.g_tx, self.align_tx = init_train_state(
+        self.state, self.g_tx, self.align_tx, self.spec_tx = init_train_state(
             g, alive, cams, cfg, scene_extent, seed)
         self._steps = {}
         self.densify_step = make_densify_step(cfg, scene_extent)
@@ -353,7 +393,8 @@ class Trainer:
         d = self.active_sh_degree
         if d not in self._steps:
             self._steps[d] = make_train_step(
-                self.static, self.rcfg, self.cfg, self.g_tx, self.align_tx, d)
+                self.static, self.rcfg, self.cfg, self.g_tx, self.align_tx, d,
+                spec_tx=self.spec_tx)
         return self._steps[d]
 
     # -- hooks subclasses (CalibTrainer) override -------------------------

@@ -61,9 +61,29 @@ def _adam(lr) -> optax.GradientTransformation:
     return optax.adam(lr, b1=0.9, b2=0.999, eps=ADAM_EPS, eps_root=0.0)
 
 
-def make_gaussian_optimizer(opt: OptimizationConfig, spatial_lr_scale: float
+def linear_noise_schedule(lr_init: float, lr_final: float, max_steps: int,
+                          lr_delay_steps: int = 0, lr_delay_mult: float = 1.0):
+    """The reference's `get_linear_noise_func` (utils/general_utils.py:78-111;
+    LINEAR interpolation despite its docstring) — used by the specular MLP."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        lerp = lr_init * (1 - t) + lr_final * t
+        if lr_delay_steps > 0:
+            delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0))
+        else:
+            delay = 1.0
+        return delay * lerp
+
+    return schedule
+
+
+def make_gaussian_optimizer(opt: OptimizationConfig, spatial_lr_scale: float,
+                            hybrid: bool = False
                             ) -> optax.GradientTransformation:
-    """Six-group Adam over the Gaussians pytree."""
+    """Six-group Adam over the Gaussians pytree (+ asg group when hybrid)."""
     xyz_sched = expon_lr_schedule(
         opt.position_lr_init * spatial_lr_scale,
         opt.position_lr_final * spatial_lr_scale,
@@ -71,18 +91,33 @@ def make_gaussian_optimizer(opt: OptimizationConfig, spatial_lr_scale: float
         lr_delay_mult=opt.position_lr_delay_mult)
     labels = Gaussians(
         xyz="xyz", sh_dc="f_dc", sh_rest="f_rest",
-        scales_log="scaling", quats="rotation", opacity_raw="opacity")
-    return optax.multi_transform(
-        {
-            "xyz": _adam(xyz_sched),
-            "f_dc": _adam(opt.feature_lr),
-            "f_rest": _adam(opt.feature_lr / 20.0),
-            "opacity": _adam(opt.opacity_lr),
-            "scaling": _adam(opt.scaling_lr),
-            "rotation": _adam(opt.rotation_lr),
-        },
-        labels,
-    )
+        scales_log="scaling", quats="rotation", opacity_raw="opacity",
+        asg="asg" if hybrid else None)
+    groups = {
+        "xyz": _adam(xyz_sched),
+        "f_dc": _adam(opt.feature_lr),
+        "f_rest": _adam(opt.feature_lr / 20.0),
+        "opacity": _adam(opt.opacity_lr),
+        "scaling": _adam(opt.scaling_lr),
+        "rotation": _adam(opt.rotation_lr),
+    }
+    if hybrid:
+        # The reference never registers the per-splat asg features in any
+        # optimizer (the snapshot's hybrid path is incomplete); the intended
+        # Spec-Gaussian design trains them like appearance features.
+        groups["asg"] = _adam(opt.feature_lr)
+    return optax.multi_transform(groups, labels)
+
+
+def make_specular_optimizer(opt: OptimizationConfig
+                            ) -> optax.GradientTransformation:
+    """Specular MLP Adam: linear-noise decay feature_lr -> feature_lr/20
+    over specular_lr_max_steps (scene/specular_model.py:30-34,49-55)."""
+    sched = linear_noise_schedule(
+        opt.feature_lr, opt.feature_lr / 20.0,
+        getattr(opt, "specular_lr_max_steps", 30_000),
+        lr_delay_mult=opt.position_lr_delay_mult)
+    return _adam(sched)
 
 
 def make_camera_optimizer(calib: CalibConfig) -> optax.GradientTransformation:

@@ -29,7 +29,7 @@ def _mini_state(cfg, n_cams=2, n_pts=60, cap=128):
         *[CameraParams.create(np.eye(3, dtype=np.float32),
                               np.zeros(3, np.float32), 0.9, 0.9)
           for _ in range(n_cams)])
-    state, g_tx, _ = init_train_state(g, alive, cams, cfg, 2.0)
+    state, g_tx, _, _ = init_train_state(g, alive, cams, cfg, 2.0)
     return sc, state, g_tx
 
 

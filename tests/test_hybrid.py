@@ -1,0 +1,157 @@
+"""--hybrid specular/ASG path: gradient flow, training, checkpointing.
+
+Reference intent: per-splat asg features + SpecularModel MLP color offset
+added to the SH color (scene/specular_model.py:10-55, render.py:130-136,
+gaussian_renderer/__init__.py:87-105). The snapshot's train.py never steps
+the MLP (mlp_color = 0, train.py:229) — this implements the intended design.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bags_tpu.calib.specular import (ASG_FEATURE, init_specular_params,
+                                     specular_color)
+from bags_tpu.core.camera import CameraParams, CameraStatic
+from bags_tpu.model.gaussians import create_from_points
+from bags_tpu.raster import RenderConfig
+from bags_tpu.train.config import CalibConfig, TrainConfig
+from bags_tpu.train.loop import Trainer, init_train_state
+
+
+def _setup(hybrid=True, n=192, cap=256):
+    rng = np.random.default_rng(3)
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(4, 8, n)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, cap, sh_degree=1)
+    static = CameraStatic(width=48, height=48)
+    cams = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(2)])
+    cfg = TrainConfig(max_instances=4096,
+                      calib=CalibConfig(opt_cam=True, hybrid=hybrid))
+    cfg.model.sh_degree = 1
+    rcfg = RenderConfig(sh_degree=1, backend="jnp", max_instances=4096,
+                        max_per_tile=256)
+    return g, alive, cams, static, cfg, rcfg
+
+
+def test_hybrid_trains_and_updates_specular():
+    g, alive, cams, static, cfg, rcfg = _setup()
+    gt = jnp.ones((2, 3, 48, 48), jnp.float32) * 0.5
+    tr = Trainer(g, alive, cams, static, cfg, 2.0, gt, rcfg=rcfg)
+    assert tr.state.g.asg is not None
+    assert tr.state.g.asg.shape == (g.capacity, ASG_FEATURE)
+    asg0 = np.asarray(tr.state.g.asg)
+    w0 = np.asarray(tr.state.spec.w1)
+    hist = tr.run(iterations=25, log_every=5)
+    assert hist[-1][1] < hist[0][1], "hybrid loss did not decrease"
+    assert float(jnp.max(jnp.abs(tr.state.g.asg - asg0))) > 0, \
+        "asg features never updated"
+    assert float(jnp.max(jnp.abs(tr.state.spec.w1 - w0))) > 0, \
+        "specular MLP never updated"
+
+
+def test_hybrid_densify_preserves_asg():
+    """Densification must clone/split the asg features with the splats."""
+    from bags_tpu.model.densify import DensifyStats, densify_and_prune
+
+    g, alive, cams, static, cfg, rcfg = _setup()
+    state, *_ = init_train_state(g, alive, cams, cfg, 2.0)
+    g_h = state.g
+    g_h = dataclasses.replace(
+        g_h, asg=jnp.arange(g_h.capacity * ASG_FEATURE, dtype=jnp.float32)
+        .reshape(g_h.capacity, ASG_FEATURE))
+    stats = DensifyStats(
+        grad_accum=jnp.full((g_h.capacity,), 1.0),
+        grad_accum_abs=jnp.full((g_h.capacity,), 1.0),
+        denom=jnp.ones((g_h.capacity,)),
+        max_radii2d=jnp.full((g_h.capacity,), 5.0))
+    res = densify_and_prune(
+        g_h, alive, stats, jax.random.PRNGKey(0), grad_threshold=1e-6,
+        min_opacity=0.005, scene_extent=2.0, max_screen_size=0.0,
+        percent_dense=0.01)
+    assert res.gaussians.asg is not None
+    # cloned rows must carry their source's asg features
+    src_alive = np.asarray(alive)
+    new_rows = np.asarray(res.alive) & ~src_alive
+    if new_rows.any():
+        new_asg = np.asarray(res.gaussians.asg)[new_rows]
+        src_asg = np.asarray(g_h.asg)[src_alive]
+        # every new row's features equal SOME source row's features
+        match = (new_asg[:, None, :] == src_asg[None, :, :]).all(-1).any(1)
+        assert match.all()
+
+
+def test_specular_color_changes_render():
+    g, alive, cams, static, cfg, rcfg = _setup()
+    state, *_ = init_train_state(g, alive, cams, cfg, 2.0)
+    from bags_tpu.raster import render
+
+    cam0 = jax.tree_util.tree_map(lambda x: x[0], state.cams)
+    base = render(state.g.xyz, state.g.scaling(), state.g.quats,
+                  state.g.opacity(alive), state.g.sh_coeffs(), cam0, static,
+                  rcfg).render
+    extra = jnp.full((g.capacity, 3), 0.25, jnp.float32)
+    shifted = render(state.g.xyz, state.g.scaling(), state.g.quats,
+                     state.g.opacity(alive), state.g.sh_coeffs(), cam0,
+                     static, rcfg, extra_color=extra).render
+    assert float(jnp.max(jnp.abs(shifted - base))) > 0.01
+
+
+def test_specular_mlp_gradients_flow():
+    params = init_specular_params(0)
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.1, (32, ASG_FEATURE)).astype(np.float32))
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+
+    def f(p, ft):
+        return jnp.sum(specular_color(p, ft, dirs) ** 2)
+
+    gp, gf = jax.grad(f, argnums=(0, 1))(params, feats)
+    assert float(jnp.max(jnp.abs(gf))) > 0
+    leaves = jax.tree_util.tree_leaves(gp)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
+def test_hybrid_checkpoint_roundtrip(tmp_path):
+    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    g, alive, cams, static, cfg, rcfg = _setup()
+    state, *_ = init_train_state(g, alive, cams, cfg, 2.0)
+    path = str(tmp_path / "chk.npz")
+    save_checkpoint(path, state)
+    state2, *_ = init_train_state(g, alive, cams, cfg, 2.0, seed=7)
+    restored = load_checkpoint(path, state2)
+    np.testing.assert_array_equal(np.asarray(restored.spec.w1),
+                                  np.asarray(state.spec.w1))
+    np.testing.assert_array_equal(np.asarray(restored.g.asg),
+                                  np.asarray(state.g.asg))
+
+
+def test_checkpoint_v2_detects_missing_leaves(tmp_path):
+    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    g, alive, cams, static, cfg, rcfg = _setup(hybrid=False)
+    state, *_ = init_train_state(g, alive, cams, cfg, 2.0)
+    path = str(tmp_path / "chk.npz")
+    save_checkpoint(path, state)
+
+    # same template round-trips
+    restored = load_checkpoint(path, state)
+    np.testing.assert_array_equal(np.asarray(restored.g.xyz),
+                                  np.asarray(state.g.xyz))
+
+    # a template with an extra field (hybrid) must FAIL LOUDLY, not
+    # positionally misassign
+    g2, alive2, cams2, static2, cfg2, _ = _setup(hybrid=True)
+    state_h, *_ = init_train_state(g2, alive2, cams2, cfg2, 2.0)
+    with pytest.raises(ValueError, match="missing leaves"):
+        load_checkpoint(path, state_h)

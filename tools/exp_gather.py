@@ -13,22 +13,32 @@ import numpy as np
 from bags_tpu.utils.cache import enable_persistent_cache
 
 
+_FLOOR = [0.0]
+
+
 def timed(fn, *args, reps=10):
-    g = jax.jit(fn)
-    out = g(*args)
-    jax.block_until_ready(out)
+    # Force a host scalar fetch per call: block_until_ready does not
+    # synchronize through this image's axon TPU tunnel. The tunnel
+    # round-trip floor (measured once) is subtracted.
+    def wrapped(*a):
+        out = fn(*a)
+        return sum(jnp.sum(jnp.ravel(l)[:1].astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
+
+    g = jax.jit(wrapped)
+    float(g(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(5):
-            out = g(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / 5)
-    return sorted(times)[len(times) // 2]
+        float(g(*args))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2] - _FLOOR[0]
 
 
 def main():
     enable_persistent_cache()
+    _FLOOR[0] = timed(lambda x: x * 2.0, jnp.ones(8, jnp.float32)) - _FLOOR[0]
+    print(f"tunnel floor                      : {_FLOOR[0]*1e3:7.2f} ms")
     n, m = 100_000, 1_048_576
     rng = np.random.default_rng(0)
     gid = jnp.asarray(rng.integers(0, n, size=m), jnp.int32)

@@ -56,25 +56,26 @@ def main():
     print("total chunks (incl. tail pad):", n_chunks_tot,
           "tiles:", tiles_x * tiles_y)
 
-    # gather rows
-    def gather(pr, gid):
-        g = jnp.minimum(gid, n - 1)
-        valid = gid < n
-        table = jnp.concatenate(
-            [pr.mean2d, pr.conic, pr.color, pr.opacity[:, None],
-             pr.depth[:, None], jnp.zeros((n, 2), jnp.float32)], axis=1)
-        rows = jnp.take(table, g, axis=0)
-        return rows * valid[:, None].astype(rows.dtype)
+    # gather rows (feature-major table + segment-reduction VJP)
+    from bags_tpu.raster.render import FEATS, F_ACTIVE, gather_rows
 
-    rows = jax.jit(gather)(proj, bins.gauss_id)
-    t_gather = timed(gather, proj, bins.gauss_id)
+    def gather(pr, b):
+        table = jnp.stack(
+            [pr.x2d, pr.y2d, pr.conic_a, pr.conic_b, pr.conic_c,
+             pr.col_r, pr.col_g, pr.col_b, pr.opacity, pr.depth]
+            + [jnp.zeros_like(pr.x2d)] * (FEATS - F_ACTIVE), axis=0)
+        table = jnp.pad(table, ((0, 0), (0, 1)))
+        return gather_rows(table, jnp.zeros((n, 2), jnp.float32), b)
 
-    def gather_vjp(pr, gid, ct):
-        _, vjp = jax.vjp(lambda p: gather(p, gid), pr)
+    rows = jax.jit(gather)(proj, bins)
+    t_gather = timed(gather, proj, bins)
+
+    def gather_vjp(pr, b, ct):
+        _, vjp = jax.vjp(lambda p: gather(p, b), pr)
         return vjp(ct)
 
     ct_rows = jnp.ones_like(rows)
-    t_gather_vjp = timed(gather_vjp, proj, bins.gauss_id, ct_rows)
+    t_gather_vjp = timed(gather_vjp, proj, bins, ct_rows)
 
     from bags_tpu.raster.pallas_raster import composite_tiles_pallas
     bgv = jnp.zeros(3)

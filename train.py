@@ -150,46 +150,25 @@ def args_to_config(args):
     )
 
 
-def main(argv=None):
-    from bags_tpu.train.presets import apply_preset
-
-    argv = apply_preset(list(argv if argv is not None else sys.argv[1:]))
-    args = build_parser().parse_args(argv)
-    cfg = args_to_config(args)
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def build_scene_and_trainer(cfg, backend: str = "auto"):
+    """Construct the Scene + Trainer exactly as training does, from a
+    (possibly cfg.json-restored) TrainConfig. Shared with render.py so that
+    eval rebuilds a checkpoint-compatible state template."""
     from bags_tpu.data import Scene
-    from bags_tpu.eval.metrics import psnr
-    from bags_tpu.eval.pose_eval import align_and_pose_error
-    from bags_tpu.model.gaussians import save_ply
-    from bags_tpu.raster import RenderConfig, render as render_fn
-    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from bags_tpu.raster import RenderConfig
     from bags_tpu.train.loop import Trainer
-    from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
 
-    enable_persistent_cache()
-    os.makedirs(args.model_path, exist_ok=True)
-    with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
-        f.write(cfg.to_json())
-
-    scene = Scene(args.source_path, eval_split=args.eval,
-                  resolution=args.resolution,
-                  r_t_noise=tuple(args.r_t_noise),
-                  white_background=args.white_background,
-                  capacity=(args.cap_max if args.cap_max > 0 else None),
-                  sh_degree=args.sh_degree, images_dir=args.images,
-                  init_type=("random" if args.random_init_pc
-                             else args.init_type))
-    print(f"scene: {scene.n_train} train / {scene.n_test} test cameras, "
-          f"extent {scene.cameras_extent:.3f}, "
-          f"capacity {scene.gaussians.capacity}, "
-          f"size {scene.static.width}x{scene.static.height}")
-
-    rcfg = RenderConfig(sh_degree=args.sh_degree, backend=args.backend,
-                        max_instances=args.max_instances)
+    scene = Scene(cfg.model.source_path, eval_split=cfg.model.eval,
+                  resolution=cfg.model.resolution,
+                  r_t_noise=tuple(cfg.calib.r_t_noise),
+                  white_background=cfg.model.white_background,
+                  capacity=(cfg.model.cap_max if cfg.model.cap_max > 0
+                            else None),
+                  sh_degree=cfg.model.sh_degree, images_dir=cfg.model.images,
+                  init_type=("random" if cfg.random_init_pc
+                             else cfg.model.init_type))
+    rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
+                        max_instances=cfg.max_instances)
     if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
         from bags_tpu.train.calibrated import CalibTrainer
 
@@ -205,8 +184,8 @@ def main(argv=None):
             gt_images=scene.train_image,
             focal_x=info0.focal_x, focal_y=info0.focal_y,
             persp_wh=(scene.static.width, scene.static.height),
-            fish_wh=fish_wh, source_path=args.source_path,
-            rcfg=rcfg, seed=args.seed,
+            fish_wh=fish_wh, source_path=cfg.model.source_path,
+            rcfg=rcfg, seed=cfg.seed,
             fish_images=(scene.fish_image if info0.fish_image_path
                          else scene.train_image))
     else:
@@ -214,7 +193,39 @@ def main(argv=None):
                           scene.static, cfg,
                           scene_extent=scene.cameras_extent,
                           gt_images=scene.train_image, rcfg=rcfg,
-                          seed=args.seed)
+                          seed=cfg.seed)
+    return scene, trainer, rcfg
+
+
+def main(argv=None):
+    from bags_tpu.train.presets import apply_preset
+
+    argv = apply_preset(list(argv if argv is not None else sys.argv[1:]))
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.eval.metrics import psnr
+    from bags_tpu.eval.pose_eval import align_and_pose_error
+    from bags_tpu.model.gaussians import save_ply
+    from bags_tpu.raster import RenderConfig, render as render_fn
+    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
+
+    enable_persistent_cache()
+    os.makedirs(args.model_path, exist_ok=True)
+    with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    scene, trainer, rcfg = build_scene_and_trainer(cfg, backend=args.backend)
+    print(f"scene: {scene.n_train} train / {scene.n_test} test cameras, "
+          f"extent {scene.cameras_extent:.3f}, "
+          f"capacity {scene.gaussians.capacity}, "
+          f"size {scene.static.width}x{scene.static.height}")
+
     if args.start_checkpoint:
         trainer.state = load_checkpoint(args.start_checkpoint, trainer.state)
 
