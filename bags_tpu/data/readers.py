@@ -232,6 +232,49 @@ def read_blender_scene(path: str, white_background: bool = False,
                      ply_path)
 
 
+def load_mesh_points(obj_path: str, texture_path: str | None = None):
+    """Mesh-surface init points for Metashape scenes (`load_mesh`,
+    dataset_readers.py:29-58): mesh VERTICES with per-vertex colors sampled
+    from the texture at each vertex's UV. Self-contained OBJ parser
+    (v/vt/f records) — the reference needs trimesh for the same data.
+
+    Returns (xyz (V, 3) f32, rgb (V, 3) f32 in [0, 1]).
+    """
+    verts: list = []
+    uvs: list = []
+    vert_uv: dict = {}
+    with open(obj_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                uvs.append([float(parts[1]), float(parts[2])])
+            elif parts[0] == "f":
+                for corner in parts[1:]:
+                    ids = corner.split("/")
+                    if len(ids) >= 2 and ids[1]:
+                        vert_uv[int(ids[0]) - 1] = int(ids[1]) - 1
+    xyz = np.asarray(verts, np.float32)
+    n = xyz.shape[0]
+    rgb = np.full((n, 3), 0.5, np.float32)
+    if texture_path and os.path.exists(texture_path) and uvs:
+        from PIL import Image
+        Image.MAX_IMAGE_PIXELS = None
+        with Image.open(texture_path) as im:
+            tex = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        h, w = tex.shape[:2]
+        uv = np.asarray(uvs, np.float32)
+        vid = np.fromiter(vert_uv.keys(), np.int64, len(vert_uv))
+        tid = np.fromiter(vert_uv.values(), np.int64, len(vert_uv))
+        u = np.clip((uv[tid, 0] * (w - 1)).astype(np.int64), 0, w - 1)
+        v = np.clip(((1.0 - uv[tid, 1]) * (h - 1)).astype(np.int64), 0, h - 1)
+        rgb[vid] = tex[v, u]
+    return xyz, rgb
+
+
 def read_metashape_scene(path: str, white_background: bool = False,
                          eval_split: bool = False, init_type: str = "sfm",
                          num_pts: int = 100_000, seed: int = 0) -> SceneInfo:
@@ -263,8 +306,15 @@ def read_metashape_scene(path: str, white_background: bool = False,
         test = []
     norm = get_nerfpp_norm(infos)
     radius = norm["radius"]
-    xyz = (rng.random((num_pts, 3)) * radius * 6 - radius * 3).astype(np.float32)
-    cols = rng.random((num_pts, 3)).astype(np.float32)
+    mesh_obj = os.path.join(path, "mesh.obj")
+    if init_type == "sfm" and os.path.exists(mesh_obj):
+        # Mesh-surface init (readMetashapeInfo, dataset_readers.py:454-459).
+        xyz, cols = load_mesh_points(mesh_obj,
+                                     os.path.join(path, "mesh.jpg"))
+    else:
+        xyz = (rng.random((num_pts, 3)) * radius * 6
+               - radius * 3).astype(np.float32)
+        cols = rng.random((num_pts, 3)).astype(np.float32)
     return SceneInfo(PointCloud(points=xyz, colors=cols), train, test, norm,
                      os.path.join(path, "points3d.ply"))
 

@@ -26,6 +26,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "tile") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh({n}) but only {len(devs)} devices are visible; for a "
+            f"virtual mesh set XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={n} and force the cpu platform before importing jax")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
@@ -41,3 +46,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def image_sharding(mesh: Mesh) -> NamedSharding:
     """(3, H, W) images: sharded along H (tile rows)."""
     return NamedSharding(mesh, P(None, "tile", None))
+
+
+def padded_height(height: int, n_devices: int, tile: int = 16) -> int:
+    """Image rows after padding the tile-row grid to a mesh-size multiple."""
+    tiles_y = -(-height // tile)
+    return (-(-tiles_y // n_devices) * n_devices) * tile

@@ -18,8 +18,8 @@ probe mechanism as the single-chip path (render.py): `probe2d` and
 `abs_probe` enter replicated, so their cotangents are psum'd across the
 slab shards automatically by the transpose.
 
-Constraint: the tile-row count must divide evenly by the mesh size (pad the
-image height to D*16 multiples).
+The tile-row grid is padded internally to a mesh-size multiple; projection
+keeps the true image height (see `sharded_render_loss`).
 """
 
 from __future__ import annotations
@@ -48,12 +48,18 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
     probe2d / abs_probe: (C, 2) zeros — the signed / abs densification
     gradient channels (see render.py docstring); their gradients are the
     psum'd per-Gaussian screen-gradient stats.
+
+    The tile-row grid is padded up to a multiple of the mesh size so every
+    device owns an equal slab; PROJECTION uses the true image height (the
+    ndc->pixel mapping must not change), padded rows render empty, and the
+    loss is sliced back to the true height after the slab all-gather. `gt`
+    must arrive padded to padded_height(...) rows (see ShardedTrainer).
     """
     axis = mesh.axis_names[0]
     d = mesh.devices.size
-    tiles_x, tiles_y = binning.tile_grid(static.width, static.height)
-    assert tiles_y % d == 0, (
-        f"tile rows {tiles_y} must divide mesh size {d}; pad image height")
+    true_height = static.height
+    tiles_x, tiles_y0 = binning.tile_grid(static.width, static.height)
+    tiles_y = -(-tiles_y0 // d) * d
     tiles_y_local = tiles_y // d
     local_max_inst = -(-(rcfg.max_instances // d) // binning.CHUNK) \
         * binning.CHUNK
@@ -109,9 +115,9 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
 
         # 5. replicated loss over the gathered image
         full_img = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
-        full_img = full_img[:, :static.height, :]
+        full_img = full_img[:, :true_height, :]
         full_gt = jax.lax.all_gather(gt_slab, axis, axis=1, tiled=True)
-        full_gt = full_gt[:, :static.height, :]
+        full_gt = full_gt[:, :true_height, :]
         loss = photometric_loss(full_img, full_gt, lambda_dssim)
 
         # full.radius is identical on every device (all-gathered), so the

@@ -1,0 +1,132 @@
+"""ShardedTrainer: the full training loop over a device mesh.
+
+New scope vs the reference (SURVEY.md §2.2: the reference is strictly
+single-GPU); this is the BASELINE.json north-star stack:
+
+  * the per-iteration train step runs tile-parallel under `shard_map`
+    (dist/sharded.py): Gaussian fields + Adam moments sharded over the
+    'tile' axis, projected packets all-gathered, each device compositing its
+    own slab of image tile rows; backward reduce-scatters Gaussian grads and
+    psums camera/alignment grads.
+  * densify / opacity reset / MCMC relocation reuse the SAME jitted
+    single-chip functions — their inputs carry NamedShardings, so GSPMD
+    partitions the masked scatters and inserts collectives for the global
+    pairing argsorts. Capacity slots are statically bound to shards, so the
+    population stays balanced across devices by construction (new Gaussians
+    land in dead slots wherever they are; per-slot compute is
+    shard-uniform).
+  * multi-host: call `bags_tpu.dist.init_distributed()` (a guarded
+    `jax.distributed.initialize`) before constructing the trainer; the mesh
+    then spans all processes' devices and every collective rides ICI/DCN.
+
+Image heights that don't divide into D * 16-pixel tile rows: the tile grid
+is padded inside the sharded loss (projection keeps the true height so the
+camera framing is unchanged); the ground truth is zero-padded here purely
+for equal-slab sharding and the loss slices back to the true height.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.camera import CameraStatic
+from ..raster import RenderConfig
+from ..raster.binning import TILE
+from ..train.config import TrainConfig
+from ..train.loop import Trainer
+from .mesh import make_mesh
+from .sharded import make_sharded_train_step
+
+
+def init_distributed(**kwargs) -> bool:
+    """Multi-host initialization (`jax.distributed.initialize`). Reads the
+    standard coordinator env (JAX_COORDINATOR_ADDRESS etc.) or explicit
+    kwargs; no-op when already initialized or single-process."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    addr = kwargs.get("coordinator_address") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if not addr and not kwargs:
+        return False
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+class ShardedTrainer(Trainer):
+    """Drop-in Trainer over a `Mesh` (use `--mesh N` in train.py)."""
+
+    def __init__(self, g, alive, cams, static: CameraStatic,
+                 cfg: TrainConfig, scene_extent: float, gt_images,
+                 bg=None, rcfg: Optional[RenderConfig] = None,
+                 seed: int = 0, mesh=None, n_devices: Optional[int] = None):
+        assert not cfg.calib.hybrid, \
+            "--hybrid is not supported with --mesh yet"
+        self.mesh = mesh or make_mesh(n_devices)
+        d = self.mesh.devices.size
+        from .mesh import padded_height
+        self.pad_height = padded_height(static.height, d, TILE)
+        super().__init__(g, alive, cams, static, cfg, scene_extent,
+                         gt_images, bg=bg, rcfg=rcfg, seed=seed)
+        self._shard_state()
+
+    # -- sharding ----------------------------------------------------------
+
+    def _shardings_for(self, state):
+        cap = state.g.capacity
+        gs = NamedSharding(self.mesh, P("tile"))
+        rep = NamedSharding(self.mesh, P())
+
+        def pick(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                    and leaf.shape[0] == cap:
+                return gs
+            return rep
+
+        return jax.tree_util.tree_map(pick, state)
+
+    def _shard_state(self):
+        self.state = jax.device_put(self.state,
+                                    self._shardings_for(self.state))
+        self._gt_sharding = NamedSharding(self.mesh, P(None, "tile", None))
+
+    def _pad_gt(self, gt):
+        gt = jnp.asarray(gt)
+        if gt.shape[1] != self.pad_height:
+            gt = jnp.pad(gt, ((0, 0),
+                              (0, self.pad_height - gt.shape[1]),
+                              (0, 0)))
+        return jax.device_put(gt, self._gt_sharding)
+
+    # -- step dispatch -------------------------------------------------------
+
+    def _train_step_fn(self):
+        dkey = self.active_sh_degree
+        if dkey not in self._steps:
+            self._steps[dkey] = make_sharded_train_step(
+                self.mesh, self.static, self.rcfg, self.cfg, self.g_tx,
+                sh_degree=dkey, align_tx=self.align_tx)
+        return self._steps[dkey]
+
+    def _invoke_step(self, it: int, idx: int, gt):
+        from ..train.loop import StepMetrics
+
+        gt = self._pad_gt(gt)
+        self.state, loss = self._train_step_fn()(
+            self.state, gt, jnp.asarray(idx), self.bg)
+        return StepMetrics(loss=loss, l1=loss,
+                           n_alive=jnp.sum(self.state.alive),
+                           n_dropped=jnp.zeros((), jnp.int32))
+
+    def _base_transform(self, fn) -> None:
+        # densify/opacity-reset/MCMC run via GSPMD on the sharded state;
+        # re-pin the canonical shardings afterwards (XLA may propagate a
+        # different layout through the pairing argsorts).
+        self.state = fn(self.state)
+        self._shard_state()

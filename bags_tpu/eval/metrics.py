@@ -72,11 +72,12 @@ def _lpips_forward(params, img1, img2):
                 h, w, (1, 1), "SAME",
                 dimension_numbers=("NCHW", "OIHW", "NCHW")) + b.reshape(1, -1, 1, 1)
             h = jax.nn.relu(h)
+            # LPIPS taps the ReLU output BEFORE any pooling.
+            if f"tap_{i}" in params:
+                feats.append(h)
             if f"pool_after_{i}" in params:
                 h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
                                           (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
-            if f"tap_{i}" in params:
-                feats.append(h)
             i += 1
         return feats
 

@@ -539,3 +539,60 @@ def make_fisheye_eval_fn(trainer: "CalibTrainer"):
         return jnp.clip(out.render * mask, 0.0, 1.0), gt_warped
 
     return eval_one
+
+
+def make_cubemap_eval_fn(trainer: "CalibTrainer"):
+    """Held-out evaluation for cubemap mode (training_report's cubemap
+    branch, train.py:608-634): render the five faces through the cubemap
+    distortion field, stitch them by per-pixel MAX INTENSITY, and compare
+    against the circular-masked wide-FoV GT."""
+    static = trainer.static
+    cfg = trainer.cfg
+    rcfg = dataclasses.replace(trainer.rcfg,
+                               sh_degree=trainer.max_sh_degree,
+                               sort_by_distance=True)
+    focal_x, focal_y = trainer.focal
+    K = np.array([[focal_x, 0, static.width / 2],
+                  [0, focal_y, static.height / 2], [0, 0, 1.0]])
+    mask90 = cubemap_lib.fov90_square_mask(static.height, static.width,
+                                           focal_x, focal_y)
+    circ = cubemap_lib.circular_mask(static.height, static.width,
+                                     cfg.calib.mask_radius)
+    scale = int(cfg.calib.control_point_sample_scale)
+
+    @jax.jit
+    def eval_one(state: CalibState, cam, gt, sub_q, sub_t):
+        b = state.base
+        g = b.g
+
+        def one_render(c):
+            return render(g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
+                          g.sh_coeffs(), c, static, rcfg,
+                          bg=jnp.zeros(3), align=b.align).render
+
+        face_renders = [one_render(cam)]
+        for f in range(4):
+            sub_cam = dataclasses.replace(cam, q_init=sub_q[f],
+                                          t_init=sub_t[f])
+            face_renders.append(one_render(sub_cam))
+
+        faces = cubemap_lib.render_cubemap_faces(
+            lambda i: face_renders[i], state.cubemap_net, K, static.width,
+            static.height, scale, mask90)
+        half_masks = [jnp.ones_like(circ)] + [
+            cubemap_lib.mask_half(jnp.ones_like(circ), f)
+            for f in ("up", "down", "left", "right")]
+
+        # max-intensity stitch (train.py:617-624)
+        final = jnp.zeros_like(faces[0])
+        intensity = jnp.sum(final, axis=0, keepdims=True)
+        for img, hm in zip(faces, half_masks):
+            masked = img * hm
+            inten = jnp.sum(masked, axis=0, keepdims=True)
+            sel = inten > intensity
+            final = jnp.where(sel, masked, final)
+            intensity = jnp.where(sel, inten, intensity)
+
+        return jnp.clip(final * circ, 0.0, 1.0), gt * circ
+
+    return eval_one

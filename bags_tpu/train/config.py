@@ -118,6 +118,7 @@ class TrainConfig:
     checkpoint_iterations: Tuple[int, ...] = (7000, 15000, 30000)
     max_instances: int = 2 ** 20
     seed: int = 0
+    mesh: int = 0                               # N-device tile-parallel mesh
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

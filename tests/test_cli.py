@@ -87,6 +87,77 @@ def test_render_cli_uses_optimized_cameras(tmp_path, capsys):
     assert len(os.listdir(renders)) == 4
 
 
+def test_train_cli_serves_network_gui(tmp_path):
+    """--gui: a fake SIBR client connects to a LIVE training loop, requests a
+    frame, and receives raw RGB bytes + the verify string (reference
+    train.py:180-193 polls the socket every iteration)."""
+    import socket
+    import threading
+
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=3, n_pts=40,
+                        rng=np.random.default_rng(2))
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    w = h = 32
+    view = np.eye(4)
+    view[3, :3] = [0.0, 0.0, 3.0]
+    msg = dict(resolution_x=w, resolution_y=h, train=True, fov_x=0.9,
+               fov_y=0.9, z_near=0.01, z_far=100.0, shs_python=False,
+               rot_scale_python=False, keep_alive=False,
+               scaling_modifier=1.0,
+               view_matrix=view.flatten().tolist(),
+               view_projection_matrix=np.eye(4).flatten().tolist())
+    received = {}
+
+    def client():
+        import json
+        import time
+        deadline = time.time() + 60
+        s = None
+        while s is None and time.time() < deadline:
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=2)
+            except OSError:
+                time.sleep(0.1)
+        # the first frame waits on a fresh jit compile of the GUI render
+        s.settimeout(240)
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little"))
+        s.sendall(payload)
+        img = b""
+        want = w * h * 3
+        while len(img) < want:
+            chunk = s.recv(want - len(img))
+            if not chunk:
+                break
+            img += chunk
+        vlen = int.from_bytes(s.recv(4), "little")
+        received["verify"] = s.recv(vlen).decode()
+        received["img_len"] = len(img)
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "25", "--sh_degree", "0",
+        "--backend", "jnp", "--max_instances", "4096", "--cap_max", "64",
+        "--densify_from_iter", "100000", "--test_iterations", "-1",
+        "--save_iterations", "-1", "--checkpoint_iterations", "-1",
+        "--quiet", "--gui", "--port", str(port)])
+    t.join(timeout=10)
+    assert received.get("img_len") == w * h * 3
+    assert received.get("verify") == root
+
+
 def test_top_level_api():
     import bags_tpu
 

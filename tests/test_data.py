@@ -149,3 +149,61 @@ def test_resolve_resolution():
     assert resolve_resolution(3200, 2400, -1) == (1600, 1200)
     assert resolve_resolution(800, 600, -1) == (800, 600)
     assert resolve_resolution(800, 600, 2) == (400, 300)
+
+
+def test_metashape_mesh_init(tmp_path, rng):
+    """Metashape scenes initialize Gaussians from mesh.obj vertices with
+    texture-sampled colors (readMetashapeInfo + load_mesh,
+    dataset_readers.py:29-58,454-459)."""
+    import json as json_mod
+
+    from PIL import Image
+
+    from bags_tpu.data.readers import load_mesh_points, read_metashape_scene
+
+    root = str(tmp_path / "ms")
+    os.makedirs(root)
+    # cameras.json with two KRT entries (column-major T like the reference)
+    K = np.array([[50.0, 0, 0], [0, 50.0, 0], [32.0, 24.0, 1]])
+    T = np.eye(4).T
+    cams = {"KRT": [
+        {"cameraId": f"cam{i}", "K": K.tolist(), "T": T.tolist()}
+        for i in range(2)]}
+    with open(os.path.join(root, "cameras.json"), "w") as f:
+        json_mod.dump(cams, f)
+
+    # a 2-triangle quad with UVs mapping to a 2x2 texture
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0.25 0.25
+vt 0.75 0.25
+vt 0.75 0.75
+vt 0.25 0.75
+f 1/1 2/2 3/3
+f 1/1 3/3 4/4
+"""
+    with open(os.path.join(root, "mesh.obj"), "w") as f:
+        f.write(obj)
+    tex = np.zeros((16, 16, 3), np.uint8)
+    tex[8:, :8] = [255, 0, 0]    # uv (0.25,0.25) -> bottom-left quadrant
+    tex[8:, 8:] = [0, 255, 0]    # uv (0.75,0.25)
+    tex[:8, 8:] = [0, 0, 255]    # uv (0.75,0.75)
+    tex[:8, :8] = [255, 255, 0]  # uv (0.25,0.75)
+    Image.fromarray(tex).save(os.path.join(root, "mesh.jpg"), quality=95)
+
+    xyz, rgb = load_mesh_points(os.path.join(root, "mesh.obj"),
+                                os.path.join(root, "mesh.jpg"))
+    assert xyz.shape == (4, 3)
+    # jpeg compression wiggles values; check dominant channels
+    assert rgb[0].argmax() == 0 and rgb[1].argmax() == 1
+    assert rgb[2].argmax() == 2
+
+    info = read_metashape_scene(root, init_type="sfm", eval_split=True)
+    assert info.point_cloud.points.shape == (4, 3)
+    assert len(info.train_cameras) == 2 and len(info.test_cameras) == 2
+
+    info_r = read_metashape_scene(root, init_type="random", num_pts=64)
+    assert info_r.point_cloud.points.shape == (64, 3)

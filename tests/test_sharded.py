@@ -99,3 +99,66 @@ def test_sharded_grads_match_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-3)
+
+
+def test_sharded_trainer_multistep_densify_matches_single():
+    """ShardedTrainer end-to-end: multi-iteration training INCLUDING a
+    densification step on the 4-device mesh matches the single-device
+    Trainer (same seeds, same cadence) — Gaussians, alive mask, cameras."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from bags_tpu.dist.trainer import ShardedTrainer
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.train.config import CalibConfig, TrainConfig
+    from bags_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(4)
+    cap = 256
+    pts = np.stack([rng.uniform(-1, 1, 128), rng.uniform(-1, 1, 128),
+                    rng.uniform(4, 8, 128)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (128, 3)).astype(np.float32)
+    # height NOT divisible by 4*16: exercises the trainer's pad+slice
+    static = CameraStatic(width=64, height=56)
+    cams = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(2)])
+    cfg = TrainConfig(max_instances=4096,
+                      calib=CalibConfig(opt_cam=True))
+    cfg.model.sh_degree = 1
+    cfg.opt.densify_from_iter = 1
+    cfg.opt.densification_interval = 4
+    cfg.opt.densify_grad_threshold = 1e-8
+    gt = jnp.full((2, 3, 56, 64), 0.5, jnp.float32)
+    rcfg = RenderConfig(sh_degree=1, backend="jnp", max_instances=4096,
+                        max_per_tile=512)
+
+    def build(sharded):
+        g, alive = create_from_points(pts, cols, cap, sh_degree=1)
+        if sharded:
+            return ShardedTrainer(g, alive, cams, static, cfg,
+                                  scene_extent=10.0, gt_images=gt,
+                                  rcfg=rcfg, n_devices=4, seed=3)
+        return Trainer(g, alive, cams, static, cfg, scene_extent=10.0,
+                       gt_images=gt, rcfg=rcfg, seed=3)
+
+    tr_s = build(True)
+    tr_1 = build(False)
+    hist_s = tr_s.run(iterations=8, log_every=4)
+    hist_1 = tr_1.run(iterations=8, log_every=4)
+
+    n_s = int(jnp.sum(tr_s.state.alive))
+    n_1 = int(jnp.sum(tr_1.state.alive))
+    assert n_s == n_1 and n_s > 128, f"densify mismatch {n_s} vs {n_1}"
+    # collective reduction orders differ from the single-device sums, and
+    # Adam normalizes tiny grads, so per-step float drift compounds — the
+    # parity bar here is structural + loose numerical agreement (the exact
+    # one-step gradient parity is covered by the tests above).
+    np.testing.assert_allclose(np.asarray(tr_s.state.g.xyz),
+                               np.asarray(tr_1.state.g.xyz),
+                               rtol=0.1, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(tr_s.state.cams.dq),
+                               np.asarray(tr_1.state.cams.dq),
+                               rtol=0.05, atol=5e-4)
+    assert hist_s[-1][1] == pytest.approx(hist_1[-1][1], rel=1e-2)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Weak-scaling + collective-traffic report for the sharded trainer.
+
+Runs the full sharded train step on 1/2/4/8 virtual CPU devices
+(`--xla_force_host_platform_device_count`) with the per-device workload held
+CONSTANT (weak scaling: Gaussians and image rows scale with the mesh),
+measures step wall-clock, and parses the compiled HLO for the collective
+operations GSPMD inserted (op counts + bytes moved per step).
+
+CPU timings are NOT TPU timings — the point of this artifact is (a) the
+collective schedule is real (same GSPMD/HLO structure a TPU mesh compiles
+to), and (b) the step time scaling trend exposes any serialization bug in
+the sharded path. Run with real chips for roofline numbers.
+
+Usage:  python tools/scaling_report.py [--devices 1 2 4 8] [--md out.md]
+"""
+
+import argparse
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_collectives(hlo_text: str):
+    """Count collective ops and estimate bytes from their output shapes.
+
+    HLO line shape: `%name = f32[8192,3]{1,0} all-gather(...)` — dtype and
+    shape come AFTER the `=`, followed by an optional layout annotation.
+    """
+    out = {}
+    pat = re.compile(
+        r"= (f32|s32|u32|bf16|pred)\[([\d,]*)\](?:\{[^}]*\})?\s+"
+        r"(all-gather|all-reduce|reduce-scatter|collective-permute|"
+        r"all-to-all)(?:-start)?\(")
+    dsize = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "pred": 1}
+    for m in pat.finditer(hlo_text):
+        dtype, shape, op = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for s in shape.split(","):
+            if s:
+                n *= int(s)
+        cnt, byt = out.get(op, (0, 0))
+        out[op] = (cnt + 1, byt + n * dsize[dtype])
+    return out
+
+
+def run_one(n_devices: int, base_gauss=4096, base_rows=4):
+    """One weak-scaling point: n_devices * base workload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.core.camera import CameraParams, CameraStatic
+    from bags_tpu.dist.mesh import make_mesh
+    from bags_tpu.dist.trainer import ShardedTrainer
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.raster import RenderConfig
+    from bags_tpu.train.config import CalibConfig, TrainConfig
+
+    mesh = make_mesh(n_devices)
+    height = 16 * base_rows * n_devices
+    width = 256
+    static = CameraStatic(width=width, height=height)
+    capacity = base_gauss * n_devices
+    rng = np.random.default_rng(0)
+    n_pts = capacity // 2
+    pts = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                    rng.uniform(4, 8, n_pts)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n_pts, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, capacity, sh_degree=2)
+    cams = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(2)])
+    cfg = TrainConfig(max_instances=16384 * n_devices, mesh=n_devices,
+                      calib=CalibConfig(opt_cam=True))
+    cfg.model.sh_degree = 2
+    gt = jnp.full((2, 3, height, width), 0.5, jnp.float32)
+    rcfg = RenderConfig(sh_degree=2, backend="jnp",
+                        max_instances=cfg.max_instances, max_per_tile=1024)
+    tr = ShardedTrainer(g, alive, cams, static, cfg, scene_extent=10.0,
+                        gt_images=gt, rcfg=rcfg, mesh=mesh)
+
+    # compile + collect HLO
+    step = tr._train_step_fn()
+    gt0 = tr._pad_gt(gt[0])
+    lowered = step.lower(tr.state, gt0, jnp.asarray(0), tr.bg)
+    hlo = lowered.compile().as_text()
+    colls = parse_collectives(hlo)
+
+    # timed steps
+    tr.run(iterations=2)  # warm
+    t0 = time.perf_counter()
+    iters = 8
+    tr.run(iterations=iters)
+    jax = sys.modules["jax"]
+    jax.block_until_ready(tr.state.g.xyz)
+    dt = (time.perf_counter() - t0) / iters
+    pixels = width * height
+    return dict(n=n_devices, step_ms=dt * 1e3, pixels=pixels,
+                pix_per_s=pixels / dt, collectives=colls)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--md", default=None)
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the real TPU backend instead of forcing a "
+                        "virtual CPU mesh (needs >= max(--devices) chips)")
+    args = p.parse_args(argv)
+
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        f"--xla_force_host_platform_device_count={max(args.devices)}")
+    os.environ.setdefault("BAGS_TPU_PALLAS_INTERPRET", "1")
+    import jax
+    if not args.tpu:
+        # The image's experimental 'axon' TPU platform ignores JAX_PLATFORMS;
+        # force CPU via jax.config so the virtual device count takes effect
+        # (same trick as tests/conftest.py). Pass --tpu for real-chip runs.
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = [run_one(n) for n in args.devices]
+    base = rows[0]
+    lines = [
+        "| devices | pixels/step | step ms | pix/s | weak-scaling eff. | "
+        "collectives (op: count, MB/step) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        eff = (r["pix_per_s"] / r["n"]) / base["pix_per_s"]
+        cols = "; ".join(
+            f"{op}: {cnt}x, {byt / 1e6:.2f}"
+            for op, (cnt, byt) in sorted(r["collectives"].items()))
+        lines.append(
+            f"| {r['n']} | {r['pixels']} | {r['step_ms']:.1f} | "
+            f"{r['pix_per_s'] / 1e6:.2f}M | {eff * 100:.0f}% | {cols} |")
+    table = "\n".join(lines)
+    if not args.tpu:
+        table += (
+            "\n\nNote: virtual CPU mesh — all devices share one host's "
+            "cores, so total compute is devices x base on fixed silicon and "
+            "the efficiency column is a lower bound (it folds in host "
+            "oversubscription). The collective schedule (op counts, bytes) "
+            "is the real GSPMD output a TPU mesh compiles to.")
+    print(table)
+    if args.md:
+        with open(args.md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()

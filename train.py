@@ -91,10 +91,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"])
+    p.add_argument("--mesh", type=int, default=0,
+                   help="train tile-parallel over an N-device mesh "
+                        "(dist/trainer.py); 0 = single-device")
     p.add_argument("--max_instances", type=int, default=2 ** 20)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--preset", default=None,
                    help="named hyperparameter preset (see train/presets.py)")
+    # SIBR network viewer (reference train.py:688-689,771 + 180-193)
+    p.add_argument("--gui", action="store_true",
+                   help="serve the SIBR remote viewer protocol during "
+                        "training")
+    p.add_argument("--ip", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=6009)
     return p
 
 
@@ -147,6 +156,7 @@ def args_to_config(args):
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
         max_instances=args.max_instances, seed=args.seed,
+        mesh=args.mesh,
     )
 
 
@@ -169,6 +179,16 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                              else cfg.model.init_type))
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
                         max_instances=cfg.max_instances)
+    if getattr(cfg, "mesh", 0):
+        from bags_tpu.dist.trainer import ShardedTrainer, init_distributed
+
+        init_distributed()
+        trainer = ShardedTrainer(
+            scene.gaussians, scene.alive, scene.train_cams, scene.static,
+            cfg, scene_extent=scene.cameras_extent,
+            gt_images=scene.train_image, rcfg=rcfg, seed=cfg.seed,
+            n_devices=cfg.mesh)
+        return scene, trainer, rcfg
     if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
         from bags_tpu.train.calibrated import CalibTrainer
 
@@ -237,58 +257,150 @@ def main(argv=None):
     eval_file = os.path.join(args.model_path, "evaluation_results.txt")
 
     fisheye_eval = None
+    cubemap_eval = None
     if cfg.calib.outside_rasterizer and not cfg.calib.cubemap:
         from bags_tpu.train.calibrated import make_fisheye_eval_fn
         fisheye_eval = make_fisheye_eval_fn(trainer)
+    elif cfg.calib.cubemap:
+        from bags_tpu.train.calibrated import make_cubemap_eval_fn
+        cubemap_eval = make_cubemap_eval_fn(trainer)
+
+    from bags_tpu.eval.metrics import Lpips
+    from bags_tpu.train.losses import ssim as ssim_fn
+
+    lpips_fn = Lpips()
+
+    def _eval_view(split, i, eval_cfg, base):
+        """Render one held-out/train view with the current calibration
+        applied; returns (render, gt) both clipped/masked for metrics."""
+        g, alive = base.g, base.alive
+        if split == "test":
+            cams, infos = scene.test_cams, scene.test_infos
+            gt_plain = scene.test_image(i)
+        else:
+            cams, infos = base.cams, scene.train_infos  # OPTIMIZED poses
+            gt_plain = scene.train_image(i)
+        cam = jax.tree_util.tree_map(lambda x: x[i], cams)
+        if fisheye_eval is not None:
+            # training_report's fisheye branch (train.py:569-607): warp
+            # through the lens field, compare against the fisheye GT.
+            cam = dataclasses.replace(
+                cam,
+                fovx=jnp.asarray(trainer.setup.fovx),
+                fovy=jnp.asarray(trainer.setup.fovy))
+            fish = (scene.test_fish_image if split == "test"
+                    else scene.fish_image)
+            gt_i = (fish(i) if infos[i].fish_image_path else gt_plain)
+            return fisheye_eval(trainer.state, cam, gt_i)
+        if cubemap_eval is not None:
+            # training_report's cubemap branch (train.py:608-634): 5-face
+            # max-intensity stitch vs circular-masked GT.
+            if split == "train":
+                sub_q, sub_t = trainer.sub_q[i], trainer.sub_t[i]
+            else:
+                from bags_tpu.train.calibrated import build_sub_cameras
+                subs = build_sub_cameras(
+                    jax.tree_util.tree_map(lambda x: x[i:i + 1], cams))
+                sub_q = jnp.stack([s.q_init[0] for s in subs[:4]])
+                sub_t = jnp.stack([s.t_init[0] for s in subs[:4]])
+            return cubemap_eval(trainer.state, cam, gt_plain, sub_q, sub_t)
+        out = render_fn(g.xyz, g.scaling(), g.quats, g.opacity(alive),
+                        g.sh_coeffs(), cam, scene.static, eval_cfg,
+                        bg=trainer.bg, align=base.align)
+        return jnp.clip(out.render, 0.0, 1.0), gt_plain
 
     def evaluate(it):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                                 backend=args.backend,
                                 max_instances=args.max_instances)
         base = getattr(trainer.state, "base", trainer.state)
-        g = base.g
-        alive = base.alive
-        vals = []
-        for i in range(scene.n_test):
-            cam = jax.tree_util.tree_map(lambda x: x[i], scene.test_cams)
-            if fisheye_eval is not None:
-                # training_report's fisheye branch: warp through the lens
-                # field and compare against the (masked) fisheye GT.
-                cam = dataclasses.replace(
-                    cam,
-                    fovx=jnp.asarray(trainer.setup.fovx),
-                    fovy=jnp.asarray(trainer.setup.fovy))
-                gt_i = (scene.test_fish_image(i)
-                        if scene.test_infos[i].fish_image_path
-                        else scene.test_image(i))
-                img, gt_img = fisheye_eval(trainer.state, cam, gt_i)
-                vals.append(float(psnr(img, gt_img)))
+        # training_report protocol (train.py:504-518): the full test split
+        # plus the first 5 train views; L1/PSNR/SSIM(/LPIPS).
+        configs = [("test", range(scene.n_test)),
+                   ("train", range(min(5, scene.n_train)))]
+        lines = []
+        img = None
+        for split, idxs in configs:
+            l1s, psnrs, ssims, lpipss = [], [], [], []
+            for i in idxs:
+                img, gt_img = _eval_view(split, i, eval_cfg, base)
+                l1s.append(float(jnp.mean(jnp.abs(img - gt_img))))
+                psnrs.append(float(psnr(img, gt_img)))
+                ssims.append(float(ssim_fn(img, gt_img)))
+                if lpips_fn.available:
+                    lpipss.append(float(lpips_fn(img, gt_img)))
+            if not l1s:
                 continue
-            out = render_fn(g.xyz, g.scaling(), g.quats, g.opacity(alive),
-                            g.sh_coeffs(), cam, scene.static, eval_cfg,
-                            bg=trainer.bg)
-            img = jnp.clip(out.render, 0.0, 1.0)
-            vals.append(float(psnr(img, scene.test_image(i))))
+            line = (f"[ITER {it}] Evaluating {split}: "
+                    f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.3f} "
+                    f"SSIM {np.mean(ssims):.5f} "
+                    f"LPIPS {np.mean(lpipss):.5f}" if lpipss else
+                    f"[ITER {it}] Evaluating {split}: "
+                    f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.3f} "
+                    f"SSIM {np.mean(ssims):.5f} LPIPS n/a")
+            lines.append(line)
         # periodic visual artifact (train.py:314-320 saves render/gt pngs)
-        try:
-            from render import save_png
-            save_png(os.path.join(args.model_path, f"render_{it}.png"),
-                     np.asarray(img))
-        except Exception:
-            pass
-        mean_psnr = float(np.mean(vals))
-        line = f"iteration {it}: test PSNR {mean_psnr:.3f} over {len(vals)} views"
+        if img is not None:
+            try:
+                from render import save_png
+                save_png(os.path.join(args.model_path, f"render_{it}.png"),
+                         np.asarray(img))
+            except Exception:
+                pass
         if args.opt_cam:
-            base = getattr(trainer.state, "base", trainer.state)
             _, err = align_and_pose_error(base.cams,
                                           scene.train_cams_clean)
-            line += (f"; pose rot {err['rotation_deg_mean']:.4f} deg, "
-                     f"trans {err['translation_mean']:.5f}")
-        print(line)
+            lines.append(f"[ITER {it}] pose error: "
+                         f"rot {err['rotation_deg_mean']:.4f} deg, "
+                         f"trans {err['translation_mean']:.5f}")
+        for line in lines:
+            print(line)
         with open(eval_file, "a") as f:
-            f.write(line + "\n")
+            f.write("\n".join(lines) + "\n")
+
+    # --- SIBR network viewer (polled at the top of every iteration,
+    # reference train.py:180-193) -----------------------------------------
+    gui = None
+    if args.gui:
+        from bags_tpu.eval.network_gui import NetworkGUI, request_to_camera
+        try:
+            gui = NetworkGUI(args.ip, args.port)
+            print(f"network GUI listening on {args.ip}:{args.port}")
+        except OSError as e:
+            print(f"network GUI unavailable ({e}); continuing without")
+
+    def gui_render(req):
+        cam, static_r = request_to_camera(req)
+        base = getattr(trainer.state, "base", trainer.state)
+        gcfg = RenderConfig(sh_degree=trainer.active_sh_degree,
+                            backend=args.backend,
+                            max_instances=args.max_instances)
+        out = render_fn(base.g.xyz, base.g.scaling(), base.g.quats,
+                        base.g.opacity(base.alive), base.g.sh_coeffs(),
+                        cam, static_r, gcfg, bg=trainer.bg, align=base.align)
+        return out.render
+
+    # instance-capacity overflow guidance (metrics.jsonl carries n_dropped
+    # every 10 iters; a persistent overflow also warns loudly here)
+    drop_state = {"streak": 0, "last_warn": -10**9}
+
+    def _check_capacity(it, metrics):
+        nd = int(metrics.n_dropped)
+        drop_state["streak"] = drop_state["streak"] + 1 if nd > 0 else 0
+        if drop_state["streak"] >= 5 and it - drop_state["last_warn"] >= 500:
+            drop_state["last_warn"] = it
+            print(f"WARNING iter {it}: rasterizer instance capacity "
+                  f"overflow for {drop_state['streak']} consecutive steps "
+                  f"({nd} instances dropped; farthest Gaussians are culled "
+                  f"first). Rendering quality will silently degrade — "
+                  f"re-run with --max_instances {2 * args.max_instances} "
+                  f"(current {args.max_instances}).", flush=True)
 
     def callback(it, state, metrics):
+        if gui is not None:
+            gui.poll(gui_render, args.source_path,
+                     training_done=(it >= args.iterations))
+        _check_capacity(it, metrics)
         if it % 10 == 0:
             logger.log(it, loss=metrics.loss, l1=metrics.l1,
                        n_alive=metrics.n_alive, n_dropped=metrics.n_dropped)
