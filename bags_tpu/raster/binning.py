@@ -5,8 +5,8 @@ per overlapped 16x16 tile, radix-sorts by (tileID | depth), and extracts
 per-tile ranges. On TPU, dynamic duplication is impossible under XLA's static
 shapes; a fixed instance budget is expanded instead.
 
-TPU-first algorithm (v2 — everything rides XLA's fast radix sort; no wide
-keys, no searchsorted over instances, no per-tile cumsum grids):
+TPU-first algorithm (v3 — everything rides XLA's fast u32 radix sort; no wide
+keys, no per-tile cumsum grids, and — new in v3 — no padding slots at all):
 
   1. Sort the N Gaussians by depth once (cheap). From here on "rank" means
      position in that depth order; all per-Gaussian arrays are permuted to
@@ -15,20 +15,22 @@ keys, no searchsorted over instances, no per-tile cumsum grids):
      order (segment-head scatter + cummax fill-forward): slot -> (rank,
      covered tile).  Capacity overflow drops whole Gaussians from the FAR end
      (the least visible ones), reported via `n_dropped`.
-  3. Synthesize per-tile padding slots (rank = N sentinel) so each tile's
-     population rounds up to a CHUNK multiple, appended AFTER the real slots.
-  4. ONE stable single-u32-key sort by tile id. Stability does the rest:
-     within a tile, real slots stay in rank order (= depth order: the CUDA
-     (tile|depth) radix sort, for free) and padding stays behind them, so the
-     output lands directly in the CHUNK-aligned layout the Pallas kernels
-     DMA from.
+  3. ONE stable single-u32-key sort by (tile:12 | rank:20). Stability and the
+     key layout do the rest: within a tile, slots land in rank order (= depth
+     order: the CUDA (tile|depth) radix sort, for free).
+  4. Per-tile ranges come from ONE `searchsorted` of the tile boundaries over
+     the sorted keys — tile starts are NOT chunk-aligned. The Pallas kernels
+     handle arbitrary starts: DMA windows may spill into the next tile's
+     slots, and lane masking (`valid`) excludes them; the v2 design instead
+     synthesized ~num_tiles*CHUNK/2 padding slots, which inflated the sort,
+     the instance gather, and the backward permutation by ~25% each.
   5. A second stable sort by rank yields `order2`, the permutation that
      groups instance slots contiguously per Gaussian — the backward pass
      reduces per-instance gradients with a blocked prefix-sum over those
      contiguous segments (segsum.py). Measured against the alternatives on
-     v5e at 1.37M slots: order2-sort (4.1 ms) + grouped gather (3.7 ms) +
-     prefix (9 ms) beats XLA's scatter-add (23 ms) and sorted segment_sum
-     (14.5 ms). `rank_of` lands the reduced rows back in Gaussian order.
+     v5e at ~1M slots: order2-sort + grouped gather + prefix beats XLA's
+     scatter-add (23 ms) and sorted segment_sum (14.5 ms). `rank_of` lands
+     the reduced rows back in Gaussian order.
 
 Everything is int32/u32/f32 arrays of static shape.
 """
@@ -43,30 +45,28 @@ import jax.numpy as jnp
 from ..core.projection import Projected
 
 TILE = 16   # pixels per tile side, matching the reference's 16x16 tiles
-CHUNK = 128  # instance-segment alignment = Pallas chunk size (TPU lane width)
+CHUNK = 128  # Pallas chunk size (TPU lane width); also the spill margin
 
 
 class TileBins(NamedTuple):
-    rank_sorted: jnp.ndarray  # (M_aligned,) int32 slot -> depth rank (N if padding)
+    rank_sorted: jnp.ndarray  # (M + CHUNK,) int32 slot -> depth rank (N if invalid)
     depth_order: jnp.ndarray  # (N,) int32 rank -> Gaussian index
-    tile_start: jnp.ndarray  # (T,) int32 CHUNK-aligned first slot of each tile
-    tile_count: jnp.ndarray  # (T,) int32 true (unpadded) instance count per tile
+    tile_start: jnp.ndarray  # (T,) int32 first slot of each tile (UNALIGNED)
+    tile_count: jnp.ndarray  # (T,) int32 instance count per tile
     n_instances: jnp.ndarray  # () int32 number of valid instances
     n_dropped: jnp.ndarray   # () int32 instances dropped due to capacity
     rank_of: jnp.ndarray     # (N,) int32 gaussian -> depth rank
     # --- gradient-reduction aux (consumed by render.py's custom VJP; DCE'd
     # from forward-only graphs) ---------------------------------------------
-    order2: jnp.ndarray      # (M_aligned,) int32: rank-grouped pos -> slot
+    order2: jnp.ndarray      # (M,) int32: rank-grouped pos -> slot
     seg_cum: jnp.ndarray     # (N,) int32 inclusive cumsum of kept ntiles, rank order
     seg_len: jnp.ndarray     # (N,) int32 kept ntiles per rank
 
     @property
     def gauss_id(self) -> jnp.ndarray:
-        """(M_aligned,) slot -> Gaussian index (N = padding). Derived view for
+        """(M + CHUNK,) slot -> Gaussian index (N = invalid). Derived view for
         tests/tools — the hot path indexes rank-permuted tables by
-        `rank_sorted` directly (a flat (M,) gather from a small table costs
-        ~8 ns/element on TPU; composing it into the feature-row gather is
-        free)."""
+        `rank_sorted` directly."""
         n = self.depth_order.shape[0]
         dop = jnp.concatenate(
             [self.depth_order, jnp.full((1,), n, jnp.int32)])
@@ -104,8 +104,7 @@ def _fill_forward_heads(head_pos, head_val, length, fill=0):
 def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
                   max_instances: int,
                   sort_key_depth: jnp.ndarray | None = None) -> TileBins:
-    """Build CHUNK-aligned, depth-sorted per-tile instance lists (see module
-    docstring for the algorithm).
+    """Build depth-sorted per-tile instance lists (see module docstring).
 
     sort_key_depth: optional override of the depth sort key (the fork sorts by
     camera distance instead of z for cubemap training, README.md:126).
@@ -113,6 +112,8 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     n = proj.x2d.shape[0]
     num_tiles = tiles_x * tiles_y
     m = max_instances
+    assert num_tiles < 4095 and n < (1 << 20), \
+        "u32 (tile:12|rank:20) key packing limits: <4095 tiles, <1M Gaussians"
     x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, proj.radius,
                                             tiles_x, tiles_y)
 
@@ -156,54 +157,36 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     rank = jnp.where(valid, g_rank, n)
 
-    # --- per-tile counts from rect corners (2D difference + cumsum) --------
-    grid = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.int32)
-    keep_g = jnp.take(kept, rank_of) & (ntiles > 0)
-    one = keep_g.astype(jnp.int32)
-    ny = jnp.where(nx > 0, ntiles // jnp.maximum(nx, 1), 0)
-    grid = grid.at[y0, x0].add(one, mode="drop")
-    grid = grid.at[y0, x0 + nx].add(-one, mode="drop")
-    grid = grid.at[y0 + ny, x0].add(-one, mode="drop")
-    grid = grid.at[y0 + ny, x0 + nx].add(one, mode="drop")
-    count = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:tiles_y, :tiles_x]
-    tile_count = count.reshape(-1)
-    count_pad = -(-tile_count // CHUNK) * CHUNK
-    aligned_start = (jnp.cumsum(count_pad) - count_pad).astype(jnp.int32)
-    pad_count = count_pad - tile_count
+    # --- 3. ONE stable u32 sort by the packed (tile | rank) key ------------
+    # Rank order within a tile is preserved by the key itself (rank occupies
+    # the low bits); a key-only sort beats key+payload by ~15%.
+    packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
+    packed = jax.lax.sort(packed)
+    rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
 
-    # --- 3. padding-slot expansion over the tile grid ----------------------
-    n_pad_slots = num_tiles * CHUNK
-    pad_offsets = jnp.cumsum(pad_count) - pad_count
-    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    p_tile = _fill_forward_heads(
-        jnp.where(pad_count > 0, pad_offsets, n_pad_slots), t_ids, n_pad_slots)
-    p_valid = jnp.arange(n_pad_slots, dtype=jnp.int32) < jnp.sum(pad_count)
-    pad_tile_id = jnp.where(p_valid, p_tile, num_tiles)
+    # --- 4. per-tile ranges: tile boundaries by binary search --------------
+    # Invalid slots carry tile_id == num_tiles, so they sort to the end and
+    # fall outside every [start, start+count) range.
+    tbounds = jnp.searchsorted(
+        packed, (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20),
+        side="left").astype(jnp.int32)
+    tile_start = tbounds[:num_tiles]
+    tile_count = tbounds[1:] - tbounds[:num_tiles]
 
-    # --- 4. ONE stable u32 sort by tile id ---------------------------------
-    m_aligned = aligned_capacity(max_instances, num_tiles)
-    all_tile = jnp.concatenate([tile_id, pad_tile_id]).astype(jnp.uint32)
-    all_rank = jnp.concatenate(
-        [rank, jnp.full((n_pad_slots,), n, jnp.int32)])
-    if num_tiles < 4095 and n < (1 << 20):
-        # Pack (tile:12 | rank:20) into ONE u32 key — a key-only sort beats
-        # key+payload by ~15%. Rank order within a tile is preserved by the
-        # key itself (rank occupies the low bits).
-        packed = (all_tile << 20) | all_rank.astype(jnp.uint32)
-        packed = jax.lax.sort(packed)
-        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
-    else:
-        _, rank_sorted = jax.lax.sort((all_tile, all_rank), num_keys=1)
-    rank_sorted = rank_sorted[:m_aligned]
+    # Spill margin: a tile's last DMA window [start + k*CHUNK, +CHUNK) may
+    # extend past `total` for the final tile; CHUNK sentinel slots keep the
+    # instance-row gather in bounds (rank N backs the zero column).
+    rank_sorted = jnp.concatenate(
+        [rank_sorted, jnp.full((CHUNK,), n, jnp.int32)])
 
     # --- 5. rank-grouping permutation for the gradient reduction -----------
     _, order2 = jax.lax.sort(
-        (rank_sorted, jnp.arange(m_aligned, dtype=jnp.int32)), num_keys=1)
+        (rank_sorted[:m], jnp.arange(m, dtype=jnp.int32)), num_keys=1)
 
     return TileBins(
         rank_sorted=rank_sorted,
         depth_order=depth_order,
-        tile_start=aligned_start,
+        tile_start=tile_start,
         tile_count=tile_count,
         n_instances=jnp.minimum(total, m),
         n_dropped=n_dropped,
@@ -215,5 +198,13 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
 
 
 def aligned_capacity(max_instances: int, num_tiles: int) -> int:
-    """Static size of the chunk-aligned instance buffer."""
-    return max_instances + num_tiles * CHUNK
+    """Static size of the instance-row buffer (budget + spill margin)."""
+    return max_instances + CHUNK
+
+
+def count_instances(proj: Projected, tiles_x: int, tiles_y: int) -> jnp.ndarray:
+    """Scalar i32: instance slots this view needs (sum of tile coverage).
+    Cheap (no sort/expansion) — drives capacity estimation."""
+    *_, ntiles = compute_tile_rects(proj.x2d, proj.y2d, proj.radius,
+                                    tiles_x, tiles_y)
+    return jnp.sum(ntiles)

@@ -169,7 +169,10 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
                 start_ref, count_ref, rows_hbm,
                 out_color, out_t, scratch, sems):
     t = pl.program_id(0)
-    start = pl.multiple_of(start_ref[t], K)
+    # Tile starts are NOT chunk-aligned (binning v3): DMA windows are taken
+    # at arbitrary lane offsets, and the final window may spill into the
+    # next tile's slots — the `valid` lane mask excludes them.
+    start = start_ref[t]
     count = count_ref[t]
     n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
     px, py = _pixel_coords(tiles_x)
@@ -238,7 +241,12 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
                 c_total_ref, t_final_ref,
                 drows_hbm, scratch, dscratch, sems, dsems):
     t = pl.program_id(0)
-    start = pl.multiple_of(start_ref[t], K)
+    # Unaligned starts (binning v3). Spill lanes of the last window overlap
+    # the NEXT tile's head slots; their gradient rows are include-masked to
+    # exact zeros here, and the next tile's program rewrites them with the
+    # real values — ordering is guaranteed because every program drains its
+    # output DMAs before finishing and the grid is a sequential loop.
+    start = start_ref[t]
     count = count_ref[t]
     n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
     px, py = _pixel_coords(tiles_x)
@@ -468,10 +476,10 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
       jnp.transpose(g_color, (0, 2, 1)), g_t[:, :, None],
       jnp.transpose(color, (0, 2, 1)), t_final[:, :, None])[0]
 
-    # Slots past the last tile's aligned segment are never written by any
-    # kernel program and hold uninitialized memory — mask them out. (Padding
-    # slots inside segments ARE written, with exact zeros, since their
-    # opacity is 0.)
+    # Slots past the last tile's final DMA window are never written by any
+    # kernel program and hold uninitialized memory — mask them out. (Spill
+    # lanes inside windows ARE written, with exact zeros via the include
+    # mask, and inter-tile spill is rewritten by the owning tile's program.)
     n_aligned = jnp.max(tile_start + (-(-tile_count // K)) * K)
     slot_ids = jnp.arange(m_pad, dtype=jnp.int32)
     d_rows = jnp.where(slot_ids[None, :] < n_aligned, d_rows, 0.0)

@@ -117,6 +117,11 @@ class TrainConfig:
     save_iterations: Tuple[int, ...] = (7000, 30000)
     checkpoint_iterations: Tuple[int, ...] = (7000, 15000, 30000)
     max_instances: int = 2 ** 20
+    # Grow max_instances (recompile) when a step reports dropped instances,
+    # instead of silently degrading. The CUDA reference resizes its instance
+    # buffers dynamically per frame; under XLA static shapes this is the
+    # equivalent: bump the budget one ladder step and re-jit.
+    auto_capacity: bool = True
     seed: int = 0
     mesh: int = 0                               # N-device tile-parallel mesh
 

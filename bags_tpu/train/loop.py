@@ -327,6 +327,36 @@ def opacity_reset_step(state: TrainState):
     return dataclasses.replace(state, g=g, g_opt=g_opt)
 
 
+def estimate_capacity(g: Gaussians, alive, cams: CameraParams,
+                      static: CameraStatic, sample: int = 8,
+                      headroom: float = 1.3, seed: int = 0) -> int:
+    """Initial instance budget: max tile-coverage over sampled training views
+    x headroom, snapped up to a 65536 ladder. Densification growth beyond the
+    headroom is handled by `Trainer._grow_capacity` (recompile on overflow) —
+    together they replace the CUDA reference's per-frame dynamic buffer
+    resizing under XLA's static shapes."""
+    from ..core.projection import project_gaussians
+    from ..raster import binning
+
+    n_cams = int(cams.fovx.shape[0])
+    rng = np.random.default_rng(seed)
+    idxs = (np.arange(n_cams) if n_cams <= sample
+            else rng.choice(n_cams, size=sample, replace=False))
+    tiles_x, tiles_y = binning.tile_grid(static.width, static.height)
+
+    @jax.jit
+    def one(cam):
+        proj = project_gaussians(g.xyz, g.scaling(), g.quats,
+                                 g.opacity(alive), g.sh_coeffs(), cam,
+                                 static, 0)
+        return binning.count_instances(proj, tiles_x, tiles_y)
+
+    worst = max(int(one(jax.tree_util.tree_map(lambda x: x[i], cams)))
+                for i in idxs)
+    cap = max(int(worst * headroom), 2 ** 17)
+    return -(-cap // 65536) * 65536
+
+
 def init_train_state(g: Gaussians, alive, cams: CameraParams,
                      cfg: TrainConfig, spatial_lr_scale: float,
                      seed: int = 0):
@@ -416,6 +446,23 @@ class Trainer:
             self._camera_stack = list(self._rng.permutation(n))
         return int(self._camera_stack.pop())
 
+    def _grow_capacity(self, n_dropped: int) -> None:
+        """Instance-budget overflow: grow `max_instances` one ladder step and
+        re-jit. The CUDA reference resizes its instance buffers dynamically
+        every frame (dynamic allocation); under XLA static shapes the
+        TPU-native equivalent is a recompile at a bigger static budget —
+        amortized over the 30k-iteration run by the persistent compile
+        cache."""
+        import dataclasses as _dc
+
+        old = self.rcfg.max_instances
+        need = int((old + n_dropped) * 1.3)
+        new = -(-need // 65536) * 65536
+        self.rcfg = _dc.replace(self.rcfg, max_instances=new)
+        self._steps = {}
+        print(f"[capacity] {n_dropped} instances dropped: growing "
+              f"max_instances {old} -> {new} (recompiling)", flush=True)
+
     def run(self, iterations: Optional[int] = None, log_every: int = 0,
             callback=None):
         opt = self.cfg.opt
@@ -448,6 +495,14 @@ class Trainer:
                         self.cfg.model.white_background
                         and it == opt.densify_from_iter):
                     self._base_transform(opacity_reset_step)
+
+            # Auto-grow the instance budget on overflow. Checked at a 100-it
+            # cadence: reading n_dropped is a host sync (expensive over the
+            # axon tunnel), and a transient overflow self-heals anyway.
+            if self.cfg.auto_capacity and it % 100 == 0:
+                nd = int(metrics.n_dropped)
+                if nd > 0:
+                    self._grow_capacity(nd)
 
             if log_every and it % log_every == 0:
                 history.append((it, float(metrics.loss),

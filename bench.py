@@ -43,7 +43,23 @@ def main():
                         scale_range=(0.008, 0.035))
     static = sc["static"]
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=2 ** 20)
+
+    # Instance budget sized exactly the way a real training run sizes it
+    # (train.py --max_instances 0 -> train/loop.py estimate_capacity):
+    # tile-coverage estimate x 1.3 headroom, snapped to the 65536 ladder,
+    # with overflow growth as the backstop. The CUDA reference resizes its
+    # buffers dynamically per frame; a fixed 2^20 budget would benchmark
+    # ~25% of slots that no real run allocates.
+    from bags_tpu.core.projection import project_gaussians
+    from bags_tpu.raster import binning
+
+    tiles_x, tiles_y = binning.tile_grid(width, height)
+    n_inst = int(jax.jit(lambda *a: binning.count_instances(
+        project_gaussians(*a, static, 0), tiles_x, tiles_y))(
+            sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+            sc["sh_coeffs"], sc["cam"]))
+    cap = -(-max(int(n_inst * 1.3), 2 ** 17) // 65536) * 65536
+    cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap)
     gt = jnp.zeros((3, height, width), jnp.float32)
 
     def loss_fn(xyz, scales, quats, opacity, sh, cam):

@@ -111,3 +111,23 @@ def test_camera_row_adam_only_touches_sampled_row():
     assert int(st2.count[1]) == 1 and int(st2.count[0]) == 0
     # frozen base pose untouched
     assert float(jnp.abs(new.q_init).max()) == 0.0
+
+
+def test_auto_capacity_growth_on_overflow():
+    """A too-small instance budget triggers auto-growth (recompile at a
+    bigger static capacity) instead of silently dropping Gaussians."""
+    g, alive, cams, static, gt = _setup(n_pts=200, wh=48)
+    cfg = TrainConfig(
+        opt=OptimizationConfig(densify_from_iter=10_000, position_lr_max_steps=200),
+        max_instances=128,  # far below the ~200+ instances the scene needs
+        calib=CalibConfig(opt_cam=False),
+    )
+    tr = Trainer(g, alive, cams, static, cfg, scene_extent=2.0, gt_images=gt,
+                 rcfg=RenderConfig(sh_degree=0, backend="jnp",
+                                   max_instances=cfg.max_instances))
+    m0 = tr._invoke_step(1, 0, gt[0])
+    assert int(m0.n_dropped) > 0, "setup should overflow the tiny budget"
+    tr.run(iterations=100)
+    assert tr.rcfg.max_instances >= 65536
+    m1 = tr._invoke_step(1, 0, gt[0])
+    assert int(m1.n_dropped) == 0

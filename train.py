@@ -94,7 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0,
                    help="train tile-parallel over an N-device mesh "
                         "(dist/trainer.py); 0 = single-device")
-    p.add_argument("--max_instances", type=int, default=2 ** 20)
+    p.add_argument("--max_instances", type=int, default=0,
+                   help="rasterizer instance budget; 0 = estimate from the "
+                        "scene (and auto-grow on overflow)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--preset", default=None,
                    help="named hyperparameter preset (see train/presets.py)")
@@ -177,6 +179,13 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                   sh_degree=cfg.model.sh_degree, images_dir=cfg.model.images,
                   init_type=("random" if cfg.random_init_pc
                              else cfg.model.init_type))
+    if not cfg.max_instances:
+        from bags_tpu.train.loop import estimate_capacity
+        cfg.max_instances = estimate_capacity(
+            scene.gaussians, scene.alive, scene.train_cams, scene.static,
+            seed=cfg.seed)
+        print(f"instance budget: auto-sized to {cfg.max_instances} "
+              f"(grows on overflow)", flush=True)
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
                         max_instances=cfg.max_instances)
     if getattr(cfg, "mesh", 0):
@@ -312,7 +321,7 @@ def main(argv=None):
     def evaluate(it):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                                 backend=args.backend,
-                                max_instances=args.max_instances)
+                                max_instances=cfg.max_instances)
         base = getattr(trainer.state, "base", trainer.state)
         # training_report protocol (train.py:504-518): the full test split
         # plus the first 5 train views; L1/PSNR/SSIM(/LPIPS).
@@ -374,7 +383,7 @@ def main(argv=None):
         base = getattr(trainer.state, "base", trainer.state)
         gcfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                             backend=args.backend,
-                            max_instances=args.max_instances)
+                            max_instances=cfg.max_instances)
         out = render_fn(base.g.xyz, base.g.scaling(), base.g.quats,
                         base.g.opacity(base.alive), base.g.sh_coeffs(),
                         cam, static_r, gcfg, bg=trainer.bg, align=base.align)
@@ -393,15 +402,18 @@ def main(argv=None):
                   f"overflow for {drop_state['streak']} consecutive steps "
                   f"({nd} instances dropped; farthest Gaussians are culled "
                   f"first). Rendering quality will silently degrade — "
-                  f"re-run with --max_instances {2 * args.max_instances} "
-                  f"(current {args.max_instances}).", flush=True)
+                  f"re-run with --max_instances {2 * cfg.max_instances} "
+                  f"(current {cfg.max_instances}).", flush=True)
 
     def callback(it, state, metrics):
         if gui is not None:
             gui.poll(gui_render, args.source_path,
                      training_done=(it >= args.iterations))
-        _check_capacity(it, metrics)
         if it % 10 == 0:
+            # n_dropped is a host sync (29 ms over the axon tunnel); check it
+            # only at the logging cadence. Trainer.run additionally
+            # auto-grows the budget (cfg.auto_capacity).
+            _check_capacity(it, metrics)
             logger.log(it, loss=metrics.loss, l1=metrics.l1,
                        n_alive=metrics.n_alive, n_dropped=metrics.n_dropped)
         if not args.quiet and it % 200 == 0:
