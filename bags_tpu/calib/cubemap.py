@@ -170,3 +170,79 @@ SUB_CAMERA_ROTATIONS = (
     (0.0, 90.0, 0.0),    # right
     (0.0, 180.0, 0.0),   # back (built but unused in the 5-face loss)
 )
+
+
+def _bilinear_sample(img: jnp.ndarray, u: jnp.ndarray,
+                     v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (C, H, W) at normalized coords u, v in [-1, 1]
+    (torch grid_sample align_corners=True, border padding). u/v: (P,)."""
+    c, h, w = img.shape
+    x = (u + 1.0) * 0.5 * (w - 1)
+    y = (v + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    flat = img.reshape(c, h * w)
+    g00 = jnp.take(flat, y0 * w + x0, axis=1)
+    g01 = jnp.take(flat, y0 * w + x1, axis=1)
+    g10 = jnp.take(flat, y1 * w + x0, axis=1)
+    g11 = jnp.take(flat, y1 * w + x1, axis=1)
+    top = g00 * (1 - fx) + g01 * fx
+    bot = g10 * (1 - fx) + g11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def cubemap_to_perspective(img_forward: jnp.ndarray, img_left: jnp.ndarray,
+                           img_right: jnp.ndarray, img_up: jnp.ndarray,
+                           img_down: jnp.ndarray, fov_h_deg: float,
+                           fov_v_deg: float, output_width: int,
+                           output_height: int) -> jnp.ndarray:
+    """Resample 5 cubemap faces (C, H, W each) into one perspective view
+    (C, output_height, output_width).
+
+    Intended behavior of the reference's `cubemap_to_perspective`
+    (utils/graphics_utils.py:117-276, consumed by render_mitsuba.py:273-440):
+    per output pixel, cast a camera ray, pick the dominant-axis face, and
+    bilinear-sample it (grid_sample align_corners=True, border padding).
+    Note the reference snapshot assembles its output through a double
+    advanced-index assignment (`out[:, m1][..., m2] = x`), which torch
+    evaluates on a copy — and builds its pixel grid (W, H)-transposed
+    against the (H, W) output view. This implementation does what the
+    function is *for*. TPU-style: all 5 faces sampled branch-free and
+    combined with masks (no data-dependent control flow).
+    """
+    fx = (output_width / 2.0) / np.tan(np.deg2rad(fov_h_deg) / 2.0)
+    fy = (output_height / 2.0) / np.tan(np.deg2rad(fov_v_deg) / 2.0)
+    jj, ii = jnp.meshgrid(jnp.arange(output_height, dtype=jnp.float32),
+                          jnp.arange(output_width, dtype=jnp.float32),
+                          indexing="ij")
+    xc = (ii - output_width / 2.0) / fx
+    yc = (output_height / 2.0 - jj) / fy          # invert y-axis
+    d = jnp.stack([xc, yc, jnp.ones_like(xc)], axis=-1)
+    d = (d / jnp.linalg.norm(d, axis=-1, keepdims=True)).reshape(-1, 3)
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+
+    # face id: 0 fwd (+z), 1 right (+x), 2 left (-x), 3 up (+y), 4 down (-y)
+    fid = jnp.where((adz >= adx) & (adz >= ady) & (dz > 0), 0,
+          jnp.where((adx >= ady) & (adx >= adz) & (dx > 0), 1,
+          jnp.where((adx >= ady) & (adx >= adz) & (dx < 0), 2,
+          jnp.where((ady > adx) & (ady > adz) & (dy > 0), 3, 4))))
+
+    eps = 1e-6
+    # (den, u_num, v_num) per face, matching the reference's face frames.
+    specs = [(dz, dx, dy),            # forward
+             (dx, -dz, dy),           # right
+             (-dx, dz, dy),           # left
+             (dy, dx, -dz),           # up
+             (-dy, dx, dz)]           # down
+    out = jnp.zeros((img_forward.shape[0], d.shape[0]), img_forward.dtype)
+    faces = (img_forward, img_right, img_left, img_up, img_down)
+    for k, (den, nu, nv) in enumerate(specs):
+        den = jnp.where(jnp.abs(den) < eps, eps, den)
+        samp = _bilinear_sample(faces[k], nu / den, nv / den)
+        out = jnp.where(fid == k, samp, out)
+    return out.reshape(img_forward.shape[0], output_height, output_width)

@@ -187,3 +187,48 @@ def test_omega_frames_orthogonal():
     omega, om_la, om_mu = specular.init_predefined_omega()
     dots = np.abs((omega * om_la).sum(-1))
     assert dots.max() < 1e-5
+
+
+def test_cubemap_to_perspective_reconstructs_direction_field():
+    """Faces painted with f(d) = 0.5 + 0.5*d (a function of the unit view
+    direction) must resample into the same field in the perspective view
+    (reference utils/graphics_utils.py:117-276 intended behavior)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from bags_tpu.calib.cubemap import cubemap_to_perspective
+
+    H = W = 65
+
+    def face(frame):
+        # pixel (j, i) -> u, v in [-1, 1] (align_corners grid)
+        u = np.linspace(-1, 1, W)[None, :] * np.ones((H, 1))
+        v = np.linspace(-1, 1, H)[:, None] * np.ones((1, W))
+        d = frame(u, v)
+        d = d / np.linalg.norm(d, axis=0, keepdims=True)
+        return jnp.asarray(0.5 + 0.5 * d, jnp.float32)
+
+    fwd = face(lambda u, v: np.stack([u, v, np.ones_like(u)]))
+    right = face(lambda u, v: np.stack([np.ones_like(u), v, -u]))
+    left = face(lambda u, v: np.stack([-np.ones_like(u), v, u]))
+    up = face(lambda u, v: np.stack([u, np.ones_like(u), -v]))
+    down = face(lambda u, v: np.stack([u, -np.ones_like(u), v]))
+
+    out_w = out_h = 48
+    out = cubemap_to_perspective(fwd, left, right, up, down,
+                                 fov_h_deg=120.0, fov_v_deg=120.0,
+                                 output_width=out_w, output_height=out_h)
+
+    # expected field straight from the pixel rays
+    fx = (out_w / 2.0) / np.tan(np.deg2rad(120.0) / 2.0)
+    fy = (out_h / 2.0) / np.tan(np.deg2rad(120.0) / 2.0)
+    jj, ii = np.meshgrid(np.arange(out_h), np.arange(out_w), indexing="ij")
+    d = np.stack([(ii - out_w / 2.0) / fx, (out_h / 2.0 - jj) / fy,
+                  np.ones_like(ii, np.float64)])
+    d = d / np.linalg.norm(d, axis=0, keepdims=True)
+    expected = 0.5 + 0.5 * d
+
+    err = np.max(np.abs(np.asarray(out) - expected))
+    assert err < 0.02, f"resample error {err}"
+    # center pixel looks straight down +z
+    center = np.asarray(out[:, out_h // 2, out_w // 2])
+    np.testing.assert_allclose(center, [0.5, 0.5, 1.0], atol=0.04)
