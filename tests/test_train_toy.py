@@ -131,3 +131,69 @@ def test_auto_capacity_growth_on_overflow():
     assert tr.rcfg.max_instances >= 65536
     m1 = tr._invoke_step(1, 0, gt[0])
     assert int(m1.n_dropped) == 0
+
+
+def test_pose_recovery_below_threshold():
+    """BASELINE config 1 pinned as a pytest: with the TRUE splats and noised
+    poses, bundle adjustment must recover rotation error well below the
+    injected noise and reach a healthy PSNR on a training view."""
+    from bags_tpu.eval.metrics import psnr
+    from bags_tpu.eval.pose_eval import align_and_pose_error
+    from bags_tpu.raster import render as render_fn
+
+    scene = make_toy_scene(n=150, width=48, height=48, sh_degree=0, seed=5)
+    static = scene["static"]
+    rng = np.random.default_rng(11)
+    cfg_r = RenderConfig(sh_degree=0, backend="jnp", max_instances=2 ** 14)
+    cams, gt = [], []
+    for i in range(4):
+        angle = 0.08 * (i - 2)
+        R = np.array([[np.cos(angle), 0, np.sin(angle)], [0, 1, 0],
+                      [-np.sin(angle), 0, np.cos(angle)]], np.float32)
+        cam = CameraParams.create(R, np.zeros(3, np.float32), 0.8, 0.8)
+        gt.append(render_fn(scene["xyz"], scene["scales"], scene["quats"],
+                            scene["opacity"], scene["sh_coeffs"], cam,
+                            static, cfg_r).render)
+        cams.append(cam)
+    gt = jnp.stack(gt)
+    clean = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    noised = dataclasses.replace(
+        clean, dq=jnp.asarray(rng.normal(0, 0.02, (4, 4)), jnp.float32))
+
+    from bags_tpu.model.gaussians import create_from_points
+    g, alive = create_from_points(np.asarray(scene["xyz"]),
+                                  np.full((150, 3), 0.5, np.float32),
+                                  256, sh_degree=0)
+    # start from the TRUE geometry: this isolates the pose-recovery axis
+    g = dataclasses.replace(
+        g,
+        xyz=g.xyz.at[:150].set(scene["xyz"]),
+        scales_log=g.scales_log.at[:150].set(jnp.log(scene["scales"])),
+        quats=g.quats.at[:150].set(scene["quats"]),
+        opacity_raw=g.opacity_raw.at[:150].set(
+            jnp.log(scene["opacity"] / (1 - scene["opacity"]))),
+        sh_dc=g.sh_dc.at[:150].set(scene["sh_coeffs"][:, :1]),
+        sh_rest=g.sh_rest.at[:150].set(scene["sh_coeffs"][:, 1:]))
+
+    cfg = TrainConfig(
+        opt=OptimizationConfig(densify_from_iter=10_000,
+                               densify_until_iter=0,
+                               position_lr_max_steps=200),
+        calib=CalibConfig(opt_cam=True, r_t_lr=(0.003, 0.003)),
+        max_instances=2 ** 14)
+    cfg.model.sh_degree = 0
+    tr = Trainer(g, alive, noised, static, cfg, scene_extent=3.0,
+                 gt_images=gt, rcfg=cfg_r)
+
+    _, err0 = align_and_pose_error(noised, clean)
+    tr.run(iterations=150)
+    _, err1 = align_and_pose_error(tr.state.cams, clean)
+    assert err1["rotation_deg_mean"] < 0.5 * err0["rotation_deg_mean"], \
+        f"rot err {err0['rotation_deg_mean']} -> {err1['rotation_deg_mean']}"
+
+    cam0 = jax.tree_util.tree_map(lambda x: x[0], tr.state.cams)
+    out = render_fn(tr.state.g.xyz, tr.state.g.scaling(), tr.state.g.quats,
+                    tr.state.g.opacity(tr.state.alive),
+                    tr.state.g.sh_coeffs(), cam0, static, cfg_r)
+    p = float(psnr(jnp.clip(out.render, 0, 1), gt[0]))
+    assert p > 25.0, f"PSNR after recovery {p}"
