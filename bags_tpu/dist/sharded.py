@@ -89,11 +89,9 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                 dataclasses.replace(full, x2d=x2d, y2d=y2d)),
             tiles_x, tiles_y_local, local_max_inst)
 
-        table = jnp.stack(
-            [x2d, y2d, full.conic_a, full.conic_b, full.conic_c,
-             full.col_r, full.col_g, full.col_b, full.opacity, full.depth]
-            + [jnp.zeros_like(x2d)] * (FEATS - F_ACTIVE), axis=0)
-        table = jnp.pad(table, ((0, 0), (0, 1)))  # zero column for pad slots
+        from ..raster.render import build_packet_table
+
+        table = build_packet_table(full, x2d, y2d)
         rows = gather_rows(table, abs_probe, bins)  # (FEATS, M_aligned)
 
         # 4. composite local tiles
@@ -106,7 +104,7 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         else:
             tile_img = tiles.composite_tiles_jnp(
                 jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),
-                jnp.transpose(rows[5:8]), rows[8], rows[9],
+                jnp.transpose(rows[6:9]), rows[5], rows[9],
                 bins.tile_start, bins.tile_count, tiles_x,
                 tiles_y_local, bg, max_per_tile=rcfg.max_per_tile)
 

@@ -55,7 +55,7 @@ K = CHUNK              # Gaussians per chunk == lane width (Mosaic DMA alignment
 FEATS = 16             # packet rows (10 used, padded for alignment)
 
 # Packet row indices.
-R_MX, R_MY, R_CA, R_CB, R_CC, R_R, R_G, R_B, R_O, R_D = range(10)
+R_MX, R_MY, R_CA, R_CB, R_CC, R_O, R_R, R_G, R_B, R_D = range(10)
 
 
 def _interpret() -> bool:
@@ -156,9 +156,8 @@ def _pixel_coords(tiles_x: int):
 
 
 def _color4(chunk):
-    """(4, K) r/g/b/depth rows of a chunk (skipping the opacity row)."""
-    return jnp.concatenate(
-        [chunk[R_R:R_B + 1, :], chunk[R_D:R_D + 1, :]], axis=0)
+    """(4, K) r/g/b/depth rows of a chunk — contiguous by row layout."""
+    return chunk[R_R:R_D + 1, :]
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +349,7 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         zeros = jnp.zeros((FEATS - 10, K), jnp.float32)
         dchunk = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc,
-             d_col[0:3], d_o, d_col[3:4], zeros], axis=0)      # (FEATS, K)
+             d_o, d_col, zeros], axis=0)                       # (FEATS, K)
         dscratch[slot] = dchunk
         dma_out(slot, i).start()
 

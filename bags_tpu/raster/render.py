@@ -85,6 +85,18 @@ def _composite_backend(cfg: RenderConfig):
 # Instance-row gather with segment-reduction backward
 # ---------------------------------------------------------------------------
 
+def build_packet_table(proj, x2d: jnp.ndarray, y2d: jnp.ndarray) -> jnp.ndarray:
+    """(FEATS, N+1) feature-major packet table, zero column backing the
+    sentinel slots. Row order [mx my ca cb cc o | r g b d]: the color4 block
+    the kernels contract on the MXU is a contiguous slice (no per-chunk
+    concat) — must match pallas_raster.py's R_* indices."""
+    table = jnp.stack(
+        [x2d, y2d, proj.conic_a, proj.conic_b, proj.conic_c,
+         proj.opacity, proj.col_r, proj.col_g, proj.col_b, proj.depth]
+        + [jnp.zeros_like(x2d)] * (FEATS - F_ACTIVE), axis=0)
+    return jnp.pad(table, ((0, 0), (0, 1)))
+
+
 def _take_rows(table: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     """Permute table columns to depth-rank order (cheap (F, N) gather), then
     gather instance rows by `rank_sorted`. Equivalent to indexing by
@@ -189,11 +201,7 @@ def render(
                         if sort_key is not None else None))
 
     n = xyz.shape[0]
-    table = jnp.stack(
-        [x2d, y2d, proj.conic_a, proj.conic_b, proj.conic_c,
-         proj.col_r, proj.col_g, proj.col_b, proj.opacity, proj.depth]
-        + [jnp.zeros_like(x2d)] * (FEATS - F_ACTIVE), axis=0)
-    table = jnp.pad(table, ((0, 0), (0, 1)))     # zero column for pad slots
+    table = build_packet_table(proj, x2d, y2d)
     if abs_probe is None:
         abs_probe = jnp.zeros((n, 2), jnp.float32)
     rows = gather_rows(table, abs_probe, bins)   # (FEATS, M_aligned)
@@ -206,7 +214,7 @@ def render(
     else:
         tile_img = tiles.composite_tiles_jnp(
             jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),
-            jnp.transpose(rows[5:8]), rows[8],
+            jnp.transpose(rows[6:9]), rows[5],
             rows[9], bins.tile_start, bins.tile_count, tiles_x, tiles_y,
             bg, max_per_tile=cfg.max_per_tile)
 

@@ -80,7 +80,7 @@ def main():
                 bins = FIXED_BINS
             table = jnp.stack(
                 [proj.x2d, proj.y2d, proj.conic_a, proj.conic_b, proj.conic_c,
-                 proj.col_r, proj.col_g, proj.col_b, proj.opacity, proj.depth]
+                 proj.opacity, proj.col_r, proj.col_g, proj.col_b, proj.depth]
                 + [jnp.zeros_like(proj.x2d)] * (FEATS - F_ACTIVE), axis=0)
             table = jnp.pad(table, ((0, 0), (0, 1)))
             abs_probe = jnp.zeros((n, 2), jnp.float32)
@@ -96,7 +96,7 @@ def main():
             else:
                 # stand-in with the same output shape + a grad path to rows
                 num_tiles = tiles_x * tiles_y
-                fake = rows[5:8, :num_tiles * 256]
+                fake = rows[6:9, :num_tiles * 256]
                 img = tiles.tiles_to_image(
                     jnp.transpose(fake.reshape(3, num_tiles, 256), (1, 2, 0)),
                     tiles_x, tiles_y, wh, wh)
