@@ -362,6 +362,15 @@ def main(argv=None):
             lines.append(f"[ITER {it}] pose error: "
                          f"rot {err['rotation_deg_mean']:.4f} deg, "
                          f"trans {err['translation_mean']:.5f}")
+            # pose-frusta artifact, the reference's in-training visdom plots
+            # (train.py:146-153,344-346) as a saved figure
+            try:
+                from bags_tpu.eval.vis import plot_poses
+                plot_poses(base.cams, scene.train_cams_clean,
+                           path=os.path.join(args.model_path,
+                                             f"poses_{it}.png"))
+            except Exception:
+                pass
         for line in lines:
             print(line)
         with open(eval_file, "a") as f:
