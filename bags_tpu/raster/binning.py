@@ -103,17 +103,21 @@ def _fill_forward_heads(head_pos, head_val, length, fill=0):
 
 def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
                   max_instances: int,
-                  sort_key_depth: jnp.ndarray | None = None) -> TileBins:
+                  sort_key_depth: jnp.ndarray | None = None,
+                  force_wide_keys: bool = False) -> TileBins:
     """Build depth-sorted per-tile instance lists (see module docstring).
 
     sort_key_depth: optional override of the depth sort key (the fork sorts by
     camera distance instead of z for cubemap training, README.md:126).
+    force_wide_keys: test hook for the >1M-Gaussian / >4k-tile sort path.
     """
     n = proj.x2d.shape[0]
     num_tiles = tiles_x * tiles_y
     m = max_instances
-    assert num_tiles < 4095 and n < (1 << 20), \
-        "u32 (tile:12|rank:20) key packing limits: <4095 tiles, <1M Gaussians"
+    # u32 (tile:12|rank:20) packed key covers <4095 tiles x <1M Gaussians
+    # (a 4k-wide image and Eyeful-scale populations); beyond that, fall back
+    # to a stable two-operand sort with the tile id as the key.
+    packed_key = num_tiles < 4095 and n < (1 << 20) and not force_wide_keys
     x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, proj.radius,
                                             tiles_x, tiles_y)
 
@@ -157,19 +161,26 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     rank = jnp.where(valid, g_rank, n)
 
-    # --- 3. ONE stable u32 sort by the packed (tile | rank) key ------------
-    # Rank order within a tile is preserved by the key itself (rank occupies
-    # the low bits); a key-only sort beats key+payload by ~15%.
-    packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
-    packed = jax.lax.sort(packed)
-    rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+    # --- 3. ONE stable sort by tile id (rank order within a tile preserved:
+    # packed key carries rank in the low bits; the two-operand fallback is a
+    # stable sort of the rank payload) ---------------------------------------
+    if packed_key:
+        packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
+        packed = jax.lax.sort(packed)
+        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+        tile_keys = packed
+        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20
+    else:
+        tile_keys, rank_sorted = jax.lax.sort(
+            (tile_id.astype(jnp.uint32), rank), num_keys=1,
+            is_stable=True)
+        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
 
     # --- 4. per-tile ranges: tile boundaries by binary search --------------
     # Invalid slots carry tile_id == num_tiles, so they sort to the end and
     # fall outside every [start, start+count) range.
-    tbounds = jnp.searchsorted(
-        packed, (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20),
-        side="left").astype(jnp.int32)
+    tbounds = jnp.searchsorted(tile_keys, bound_q,
+                               side="left").astype(jnp.int32)
     tile_start = tbounds[:num_tiles]
     tile_count = tbounds[1:] - tbounds[:num_tiles]
 

@@ -189,3 +189,24 @@ def test_depth_map():
         d_center = float(out.depth_map[15, 15])
         np.testing.assert_allclose(d_center / alpha, 5.0, rtol=1e-4)
         assert float(out.depth_map[0, 0]) < 1.0
+
+
+def test_binning_wide_key_fallback_matches_packed():
+    """The >1M-Gaussian / >4k-tile two-operand sort path must produce the
+    same bins as the packed u32 key path."""
+    import jax
+    import numpy as np
+    from bags_tpu.core.projection import project_gaussians
+    from bags_tpu.raster import binning
+    from bags_tpu.utils.testing import make_toy_scene
+
+    sc = make_toy_scene(n=600, width=96, height=80, sh_degree=0, seed=4)
+    tiles_x, tiles_y = binning.tile_grid(96, 80)
+    proj = jax.jit(lambda *a: project_gaussians(*a, sc["static"], 0))(
+        sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+        sc["sh_coeffs"], sc["cam"])
+    a = binning.bin_gaussians(proj, tiles_x, tiles_y, 4096)
+    b = binning.bin_gaussians(proj, tiles_x, tiles_y, 4096,
+                              force_wide_keys=True)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
