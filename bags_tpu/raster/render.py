@@ -108,38 +108,55 @@ def _take_rows(table: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     return jnp.take(table_r, bins.rank_sorted, axis=1)
 
 
-@jax.custom_vjp
-def gather_rows(table: jnp.ndarray, abs_probe: jnp.ndarray,
-                bins: TileBins) -> jnp.ndarray:
-    """Feature-major (FEATS, N+1) table -> (FEATS, M_aligned) instance rows.
-
-    Column N of the table must be zero (it backs the padding slots).
-    `abs_probe` (N, 2) is inert in the forward pass; its cotangent is defined
-    (custom VJP) as the per-Gaussian sum of |d row[0:2]| — the reference
-    fork's abs-gradient densification channel.
-    """
-    return _take_rows(table, bins)
-
-
-def _gather_rows_fwd(table, abs_probe, bins):
-    return _take_rows(table, bins), bins
-
-
-def _gather_rows_bwd(bins, d_rows):
+def _gather_bwd_reduce(bins, rows_g):
     """Per-Gaussian reduction of per-instance gradient rows: permute into
     rank-grouped order (`order2`), blocked-prefix segment-sum over the
     contiguous per-Gaussian segments (segsum.py), land in Gaussian order via
     `rank_of`. Measured fastest on v5e vs XLA scatter-add / sorted
-    segment_sum (see binning.py module docstring). Only the F_ACTIVE live
-    rows + the 2 abs channels ride it; pad rows are identically zero. The
-    abs channels realize the reference fork's `means2D_densify`
-    densification stat (gaussian_model.py:449-455) in the same pass.
-    """
+    segment_sum (see binning.py module docstring). Pad rows are identically
+    zero."""
+    grouped = jnp.take(rows_g, bins.order2, axis=1)
+    by_rank = segment_sum_sorted(grouped, bins.seg_cum, bins.seg_len)
+    return jnp.take(by_rank, bins.rank_of, axis=1)           # (F, N)
+
+
+@jax.custom_vjp
+def _gather_rows_plain(table: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
+    return _take_rows(table, bins)
+
+
+def _gather_plain_fwd(table, bins):
+    return _take_rows(table, bins), bins
+
+
+def _gather_plain_bwd(bins, d_rows):
+    by_gauss = _gather_bwd_reduce(bins, d_rows[:F_ACTIVE])
+    d_table = jnp.pad(by_gauss, ((0, FEATS - F_ACTIVE), (0, 1)))
+    zeros_bins = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0), bins)
+    return d_table, zeros_bins
+
+
+_gather_rows_plain.defvjp(_gather_plain_fwd, _gather_plain_bwd)
+
+
+@jax.custom_vjp
+def _gather_rows_abs(table: jnp.ndarray, abs_probe: jnp.ndarray,
+                     bins: TileBins) -> jnp.ndarray:
+    return _take_rows(table, bins)
+
+
+def _gather_abs_fwd(table, abs_probe, bins):
+    return _take_rows(table, bins), bins
+
+
+def _gather_abs_bwd(bins, d_rows):
+    """Like the plain VJP, plus the 2 abs channels harvested in the same
+    reduction pass — the reference fork's `means2D_densify` abs-gradient
+    densification stat (gaussian_model.py:449-455)."""
     aug = jnp.concatenate(
         [d_rows[:F_ACTIVE], jnp.abs(d_rows[0:2])], axis=0)   # (12, M)
-    grouped = jnp.take(aug, bins.order2, axis=1)
-    by_rank = segment_sum_sorted(grouped, bins.seg_cum, bins.seg_len)
-    by_gauss = jnp.take(by_rank, bins.rank_of, axis=1)       # (12, N)
+    by_gauss = _gather_bwd_reduce(bins, aug)
     d_table = jnp.pad(by_gauss[:F_ACTIVE],
                       ((0, FEATS - F_ACTIVE), (0, 1)))
     d_absp = jnp.transpose(by_gauss[F_ACTIVE:F_ACTIVE + 2])
@@ -148,7 +165,21 @@ def _gather_rows_bwd(bins, d_rows):
     return d_table, d_absp, zeros_bins
 
 
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_gather_rows_abs.defvjp(_gather_abs_fwd, _gather_abs_bwd)
+
+
+def gather_rows(table: jnp.ndarray, abs_probe, bins: TileBins) -> jnp.ndarray:
+    """Feature-major (FEATS, N+1) table -> (FEATS, M+CHUNK) instance rows.
+
+    Column N of the table must be zero (it backs the sentinel slots).
+    `abs_probe` (N, 2) or None: inert in the forward pass; its cotangent is
+    the per-Gaussian sum of |d row[0:2]| (the fork's abs-gradient
+    densification channel). Pass None when densification stats aren't
+    needed (eval/bench) — the backward then reduces 10 rows instead of 12.
+    """
+    if abs_probe is None:
+        return _gather_rows_plain(table, bins)
+    return _gather_rows_abs(table, abs_probe, bins)
 
 
 def render(
@@ -200,11 +231,9 @@ def render(
         sort_key_depth=(jax.lax.stop_gradient(sort_key)
                         if sort_key is not None else None))
 
-    n = xyz.shape[0]
     table = build_packet_table(proj, x2d, y2d)
-    if abs_probe is None:
-        abs_probe = jnp.zeros((n, 2), jnp.float32)
-    rows = gather_rows(table, abs_probe, bins)   # (FEATS, M_aligned)
+    # abs_probe None (eval/bench) selects the 10-row backward reduction.
+    rows = gather_rows(table, abs_probe, bins)   # (FEATS, M + CHUNK)
 
     backend = _composite_backend(cfg)
     if backend == "pallas":
