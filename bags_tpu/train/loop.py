@@ -418,6 +418,8 @@ class Trainer:
         self.max_sh_degree = cfg.model.sh_degree
         self._rng = np.random.default_rng(seed)
         self._camera_stack: list[int] = []
+        self._io = None
+        self._prefetched: Optional[tuple] = None
 
     def _train_step_fn(self):
         d = self.active_sh_degree
@@ -438,13 +440,40 @@ class Trainer:
         """Apply a TrainState -> TrainState transform (densify etc.)."""
         self.state = fn(self.state)
 
-    def _next_camera(self) -> int:
-        """Random camera from a reshuffled stack (train.py:206-208)."""
+    def _refill_camera_stack(self) -> None:
         if not self._camera_stack:
             base = getattr(self.state, "base", self.state)
             n = int(base.cams.fovx.shape[0])
             self._camera_stack = list(self._rng.permutation(n))
+
+    def _next_camera(self) -> int:
+        """Random camera from a reshuffled stack (train.py:206-208)."""
+        self._refill_camera_stack()
         return int(self._camera_stack.pop())
+
+    def _peek_camera(self) -> int:
+        """The camera the NEXT iteration will draw (for IO prefetch)."""
+        self._refill_camera_stack()
+        return int(self._camera_stack[-1])
+
+    def _fetch_gt(self, idx: int):
+        """Ground truth for camera idx, overlapping disk IO with compute:
+        while step i runs on device, a single IO thread loads step i+1's
+        image (the reference preloads the whole set to GPU memory,
+        scene/cameras.py; here large scenes stream through data/scene.py's
+        LRU cache instead, so the load must be hidden)."""
+        if not callable(self.gt_images):
+            return self.gt_images[idx]
+        pre = self._prefetched
+        gt = (pre[1].result() if pre is not None and pre[0] == idx
+              else self.gt_images(idx))
+        if self._io is None:
+            import concurrent.futures
+            self._io = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="bags-gt-io")
+        nidx = self._peek_camera()
+        self._prefetched = (nidx, self._io.submit(self.gt_images, nidx))
+        return gt
 
     def _grow_capacity(self, n_dropped: int) -> None:
         """Instance-budget overflow: grow `max_instances` one ladder step and
@@ -473,8 +502,7 @@ class Trainer:
             if it % 1000 == 0 and self.active_sh_degree < self.max_sh_degree:
                 self.active_sh_degree += 1
             idx = self._next_camera()
-            gt = self.gt_images[idx] if not callable(self.gt_images) \
-                else self.gt_images(idx)
+            gt = self._fetch_gt(idx)
             metrics = self._invoke_step(it, idx, gt)
 
             if self.cfg.mcmc:
