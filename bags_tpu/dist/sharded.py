@@ -41,9 +41,14 @@ from ..train.losses import photometric_loss
 
 
 def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
-                        lambda_dssim: float = 0.2):
-    """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, gt, bg) ->
-    (loss, aux), differentiable, executing tile-parallel over `mesh`.
+                        lambda_dssim: float = 0.2, hybrid: bool = False):
+    """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, spec, gt,
+    bg) -> (loss, aux), differentiable, executing tile-parallel over `mesh`.
+
+    hybrid: per-Gaussian ASG specular color — `g.asg` is sharded with the
+    other Gaussian fields, the specular MLP params replicate, and the extra
+    color is computed on the owning shard BEFORE the packet all-gather (it
+    folds into the per-Gaussian color rows, so it moves zero extra bytes).
 
     probe2d / abs_probe: (C, 2) zeros — the signed / abs densification
     gradient channels (see render.py docstring); their gradients are the
@@ -65,15 +70,27 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         * binning.CHUNK
 
     def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
-                  alive, cam, align, probe2d, abs_probe, gt_slab, bg):
+                  asg, alive, cam, align, probe2d, abs_probe, spec,
+                  gt_slab, bg):
         # 1. project the local Gaussian shard
         g_local = Gaussians(xyz=xyz, sh_dc=sh_dc, sh_rest=sh_rest,
                             scales_log=scales_log, quats=quats,
                             opacity_raw=opacity_raw)
+        extra = None
+        if hybrid:
+            from ..calib.specular import specular_color
+            from ..core.camera import camera_center
+
+            campos = camera_center(cam, align)
+            dirs = xyz - campos[None, :]
+            dirs = dirs / jnp.sqrt(jnp.clip(
+                jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
+            extra = specular_color(spec, asg, dirs)
         proj = project_gaussians(
             xyz, g_local.scaling(), quats, g_local.opacity(alive),
             g_local.sh_coeffs(), cam, static, rcfg.sh_degree,
-            align=align, scale_modifier=rcfg.scale_modifier)
+            align=align, scale_modifier=rcfg.scale_modifier,
+            extra_color=extra)
 
         # 2. all-gather projected packets (SoA: one (C,) vector per field)
         full = jax.tree_util.tree_map(
@@ -126,9 +143,11 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
 
     in_specs = (
         P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # g fields
+        P(axis) if hybrid else P(),                            # asg
         P(axis),                                               # alive
         P(), P(),                                              # cam, align
         P(), P(),                                              # probes
+        P(),                                                   # spec params
         P(None, axis, None),                                   # gt slab
         P(),                                                   # bg
     )
@@ -138,27 +157,31 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                    out_specs=out_specs, check_vma=False)
 
     def loss_fn(g: Gaussians, alive, cam: CameraParams,
-                align: GlobalAlignment, probe2d, abs_probe, gt, bg):
+                align: GlobalAlignment, probe2d, abs_probe, gt, bg,
+                spec=None):
+        asg = g.asg if hybrid else jnp.zeros((), jnp.float32)
         return fn(g.xyz, g.scales_log, g.quats, g.opacity_raw,
-                  g.sh_dc, g.sh_rest, alive, cam, align, probe2d, abs_probe,
-                  gt, bg)
+                  g.sh_dc, g.sh_rest, asg, alive, cam, align, probe2d,
+                  abs_probe, spec, gt, bg)
 
     return loss_fn
 
 
 def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
                             rcfg: RenderConfig, cfg, g_tx, sh_degree: int,
-                            align_tx=None):
+                            align_tx=None, spec_tx=None):
     """Full sharded train step: loss + grads for Gaussians (sharded), camera
-    pose/intrinsics and global alignment (replicated), plus optimizer
-    updates and densification statistics."""
+    pose/intrinsics, global alignment and the specular MLP (replicated),
+    plus optimizer updates and densification statistics."""
     import optax
 
     from ..model.densify import update_stats
     from ..train.loop import TrainState, row_adam_update
 
+    hybrid = bool(getattr(cfg.calib, "hybrid", False))
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
-    loss_fn = sharded_render_loss(mesh, static, rcfg, cfg.opt.lambda_dssim)
+    loss_fn = sharded_render_loss(mesh, static, rcfg, cfg.opt.lambda_dssim,
+                                  hybrid=hybrid)
 
     @jax.jit
     def step(state: TrainState, gt, cam_idx, bg):
@@ -167,14 +190,15 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
         probe = jnp.zeros((n_cap, 2), jnp.float32)
         absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def wrapped(g, cam, align, probe2d, abs_probe):
+        def wrapped(g, cam, align, probe2d, abs_probe, spec):
             return loss_fn(g, state.alive, cam, align, probe2d, abs_probe,
-                           gt, bg)
+                           gt, bg, spec=spec)
 
+        argnums = (0, 1, 2, 3, 4, 5) if hybrid else (0, 1, 2, 3, 4)
         (loss, aux), grads = jax.value_and_grad(
-            wrapped, argnums=(0, 1, 2, 3, 4), has_aux=True)(
-                state.g, cam_i, state.align, probe, absp)
-        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads
+            wrapped, argnums=argnums, has_aux=True)(
+                state.g, cam_i, state.align, probe, absp, state.spec)
+        g_grads, cam_grads, align_grads, signed_stat, abs_stat = grads[:5]
 
         updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g)
         new_g = optax.apply_updates(state.g, updates)
@@ -190,12 +214,20 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
         else:
             new_align, align_opt = state.align, state.align_opt
 
+        if hybrid:
+            s_upd, spec_opt = spec_tx.update(grads[5], state.spec_opt,
+                                             state.spec)
+            new_spec = optax.apply_updates(state.spec, s_upd)
+        else:
+            new_spec, spec_opt = state.spec, state.spec_opt
+
         stats = update_stats(state.stats, signed_stat, abs_stat,
                              aux["radii"], aux["radii"] > 0)
 
         new_state = dataclasses.replace(
             state, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
             align=new_align, align_opt=align_opt, stats=stats,
+            spec=new_spec, spec_opt=spec_opt,
             step=state.step + 1)
         return new_state, loss
 

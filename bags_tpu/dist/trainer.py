@@ -66,8 +66,6 @@ class ShardedTrainer(Trainer):
                  cfg: TrainConfig, scene_extent: float, gt_images,
                  bg=None, rcfg: Optional[RenderConfig] = None,
                  seed: int = 0, mesh=None, n_devices: Optional[int] = None):
-        assert not cfg.calib.hybrid, \
-            "--hybrid is not supported with --mesh yet"
         self.mesh = mesh or make_mesh(n_devices)
         d = self.mesh.devices.size
         from .mesh import padded_height
@@ -89,7 +87,18 @@ class ShardedTrainer(Trainer):
                 return gs
             return rep
 
-        return jax.tree_util.tree_map(pick, state)
+        def rep_tree(sub):
+            return jax.tree_util.tree_map(lambda _: rep, sub)
+
+        sh = jax.tree_util.tree_map(pick, state)
+        # Specular MLP params/opt are small replicated tensors whose leading
+        # dim can coincidentally equal a small test capacity — pin them (and
+        # the camera rows) replicated explicitly.
+        import dataclasses as _dc
+        return _dc.replace(sh, cams=rep_tree(state.cams),
+                           cam_opt=rep_tree(state.cam_opt),
+                           spec=rep_tree(state.spec),
+                           spec_opt=rep_tree(state.spec_opt))
 
     def _shard_state(self):
         self.state = jax.device_put(self.state,
@@ -111,7 +120,8 @@ class ShardedTrainer(Trainer):
         if dkey not in self._steps:
             self._steps[dkey] = make_sharded_train_step(
                 self.mesh, self.static, self.rcfg, self.cfg, self.g_tx,
-                sh_degree=dkey, align_tx=self.align_tx)
+                sh_degree=dkey, align_tx=self.align_tx,
+                spec_tx=self.spec_tx)
         return self._steps[dkey]
 
     def _invoke_step(self, it: int, idx: int, gt):

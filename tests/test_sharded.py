@@ -162,3 +162,52 @@ def test_sharded_trainer_multistep_densify_matches_single():
                                np.asarray(tr_1.state.cams.dq),
                                rtol=0.05, atol=5e-4)
     assert hist_s[-1][1] == pytest.approx(hist_1[-1][1], rel=1e-2)
+
+
+def test_sharded_hybrid_trains_and_updates_specular():
+    """--hybrid over a mesh: ASG features shard with the Gaussians, the
+    specular MLP replicates, and both receive updates."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.core.camera import CameraParams, CameraStatic
+    from bags_tpu.dist.mesh import make_mesh
+    from bags_tpu.dist.trainer import ShardedTrainer
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.raster import RenderConfig
+    from bags_tpu.train.config import CalibConfig, TrainConfig
+
+    mesh = make_mesh(2)
+    static = CameraStatic(width=64, height=48)
+    cap = 128
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1, 1, 64), rng.uniform(-1, 1, 64),
+                    rng.uniform(4, 8, 64)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, cap, sh_degree=1)
+    cams = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(2)])
+    cfg = TrainConfig(max_instances=2048, mesh=2,
+                      calib=CalibConfig(opt_cam=True, hybrid=True))
+    cfg.model.sh_degree = 1
+    gt = jnp.full((2, 3, 48, 64), 0.4, jnp.float32)
+    rcfg = RenderConfig(sh_degree=1, backend="jnp", max_instances=2048,
+                        max_per_tile=512)
+    tr = ShardedTrainer(g, alive, cams, static, cfg, scene_extent=8.0,
+                        gt_images=gt, rcfg=rcfg, mesh=mesh)
+    assert tr.state.g.asg is not None
+    spec0 = jax.tree_util.tree_leaves(tr.state.spec)[0].copy()
+    asg0 = np.asarray(tr.state.g.asg).copy()
+    hist = tr.run(iterations=4, log_every=4)
+    assert np.isfinite(hist[-1][1])
+    moved_spec = float(jnp.max(jnp.abs(
+        jax.tree_util.tree_leaves(tr.state.spec)[0] - spec0)))
+    moved_asg = float(np.max(np.abs(np.asarray(tr.state.g.asg) - asg0)))
+    assert moved_spec > 0, "specular MLP never updated under sharding"
+    assert moved_asg > 0, "ASG features never updated under sharding"
