@@ -229,6 +229,6 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
             align=new_align, align_opt=align_opt, stats=stats,
             spec=new_spec, spec_opt=spec_opt,
             step=state.step + 1)
-        return new_state, loss
+        return new_state, (loss, aux["n_dropped"])
 
     return step

@@ -128,11 +128,11 @@ class ShardedTrainer(Trainer):
         from ..train.loop import StepMetrics
 
         gt = self._pad_gt(gt)
-        self.state, loss = self._train_step_fn()(
+        self.state, (loss, n_dropped) = self._train_step_fn()(
             self.state, gt, jnp.asarray(idx), self.bg)
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(self.state.alive),
-                           n_dropped=jnp.zeros((), jnp.int32))
+                           n_dropped=n_dropped)
 
     def _base_transform(self, fn) -> None:
         # densify/opacity-reset/MCMC run via GSPMD on the sharded state;
