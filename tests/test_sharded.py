@@ -211,3 +211,47 @@ def test_sharded_hybrid_trains_and_updates_specular():
     moved_asg = float(np.max(np.abs(np.asarray(tr.state.g.asg) - asg0)))
     assert moved_spec > 0, "specular MLP never updated under sharding"
     assert moved_asg > 0, "ASG features never updated under sharding"
+
+
+def test_sharded_mcmc_relocation_runs():
+    """MCMC mode over a mesh: relocation + SGLD noise on sharded state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.core.camera import CameraParams, CameraStatic
+    from bags_tpu.dist.mesh import make_mesh
+    from bags_tpu.dist.trainer import ShardedTrainer
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.raster import RenderConfig
+    from bags_tpu.train.config import CalibConfig, TrainConfig
+
+    mesh = make_mesh(2)
+    static = CameraStatic(width=64, height=48)
+    rng = np.random.default_rng(1)
+    pts = np.stack([rng.uniform(-1, 1, 96), rng.uniform(-1, 1, 96),
+                    rng.uniform(4, 8, 96)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (96, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, 128, sh_degree=0)
+    cams = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(2)])
+    cfg = TrainConfig(max_instances=2048, mesh=2, mcmc=True,
+                      calib=CalibConfig(opt_cam=False))
+    cfg.model.sh_degree = 0
+    cfg.model.cap_max = 128
+    cfg.opt.densify_from_iter = 1
+    cfg.opt.densification_interval = 2
+    gt = jnp.full((2, 3, 48, 64), 0.3, jnp.float32)
+    tr = ShardedTrainer(g, alive, cams, static, cfg, scene_extent=8.0,
+                        gt_images=gt,
+                        rcfg=RenderConfig(sh_degree=0, backend="jnp",
+                                          max_instances=2048,
+                                          max_per_tile=512), mesh=mesh)
+    xyz0 = np.asarray(tr.state.g.xyz).copy()
+    hist = tr.run(iterations=5, log_every=5)
+    assert np.isfinite(hist[-1][1])
+    # SGLD noise + relocation moved positions on the sharded state
+    assert float(np.max(np.abs(np.asarray(tr.state.g.xyz) - xyz0))) > 0
