@@ -165,3 +165,27 @@ def test_top_level_api():
     assert bags_tpu.RenderConfig().sh_degree == 3
     assert bags_tpu.Scene is not None
     assert bags_tpu.Trainer is not None
+
+
+def test_train_cli_mesh_checkpoint_resume(tmp_path):
+    """--mesh training checkpoints and resumes (shardings re-pinned)."""
+    import numpy as np
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=4, n_pts=50,
+                        rng=np.random.default_rng(3))
+    common = ["-s", root, "-m", out, "--sh_degree", "0", "--backend", "jnp",
+              "--max_instances", "4096", "--cap_max", "128", "--mesh", "2",
+              "--densify_from_iter", "100000", "--quiet",
+              "--test_iterations", "-1", "--save_iterations", "-1"]
+    train_cli.main(common + ["--iterations", "4",
+                             "--checkpoint_iterations", "4"])
+    assert os.path.exists(os.path.join(out, "chkpnt4.npz"))
+    train_cli.main(common + ["--iterations", "6",
+                             "--checkpoint_iterations", "6",
+                             "--start_checkpoint",
+                             os.path.join(out, "chkpnt4.npz")])
+    assert os.path.exists(os.path.join(out, "chkpnt6.npz"))

@@ -257,6 +257,8 @@ def main(argv=None):
 
     if args.start_checkpoint:
         trainer.state = load_checkpoint(args.start_checkpoint, trainer.state)
+        if hasattr(trainer, "_shard_state"):
+            trainer._shard_state()  # re-pin mesh shardings after restore
 
     if jax.default_backend() == "tpu":
         warm_ssim_grad()
