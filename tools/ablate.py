@@ -61,12 +61,15 @@ def main():
                         scale_range=(0.008, 0.035))
     static = sc["static"]
     cfg = RenderConfig(sh_degree=3, backend="pallas", max_instances=2 ** 20)
-    gt = jnp.zeros((3, wh, wh), jnp.float32)
     tiles_x, tiles_y = binning.tile_grid(wh, wh)
     args = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
             sc["sh_coeffs"], sc["cam"])
 
     def step(loss_kind, composite, use_bin, *a):
+        # fixed bins arrive as ARGS (never as closed-over device constants:
+        # big jaxpr constants trip the axon compile service — see memory
+        # axon-tpu-pitfalls)
+        *a, fixed_bins = a
         xyz, scales, quats, opacity, sh, cam = a
 
         def loss_fn(xyz, scales, quats, opacity, sh, cam):
@@ -77,7 +80,8 @@ def main():
                     jax.lax.stop_gradient(proj), tiles_x, tiles_y,
                     _round_up(cfg.max_instances))
             else:
-                bins = FIXED_BINS
+                bins = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                              fixed_bins)
             table = jnp.stack(
                 [proj.x2d, proj.y2d, proj.conic_a, proj.conic_b, proj.conic_c,
                  proj.opacity, proj.col_r, proj.col_g, proj.col_b, proj.depth]
@@ -101,19 +105,20 @@ def main():
                     jnp.transpose(fake.reshape(3, num_tiles, 256), (1, 2, 0)),
                     tiles_x, tiles_y, wh, wh)
 
+            gt = jnp.zeros((3, wh, wh), jnp.float32)  # in-graph, not a closure
             if loss_kind == "l1":
                 return l1_loss(img, gt)
             return photometric_loss(img, gt)
 
         return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(*a)
 
-    # Precompute fixed bins for the nobin variant (host-side constant).
+    # Precompute fixed bins for the nobin variant (passed as jit args).
     proj0 = jax.jit(lambda *a: project_gaussians(*a, static, cfg.sh_degree))(
         *args)
-    FIXED_BINS = jax.block_until_ready(jax.jit(
+    fixed_bins = jax.block_until_ready(jax.jit(
         lambda p: binning.bin_gaussians(p, tiles_x, tiles_y,
                                         _round_up(cfg.max_instances)))(proj0))
-    FIXED_BINS = jax.tree_util.tree_map(jax.lax.stop_gradient, FIXED_BINS)
+    args = args + (fixed_bins,)
 
     variants = [
         ("full", functools.partial(step, "photo", "pallas", True)),
