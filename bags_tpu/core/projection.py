@@ -60,6 +60,12 @@ class Projected:
     col_b: jnp.ndarray
     opacity: jnp.ndarray   # activated opacity in [0, 1), 0 when culled
     radius: jnp.ndarray    # int32 pixel radius (0 => culled)
+    # Opacity-aware binning radius: beyond sqrt(2 ln(255 a)) sigma the
+    # compositor's `alpha >= 1/255` test excludes every pixel, so tiles out
+    # there can be culled with EXACT render parity. min(radius, that bound);
+    # `radius` itself stays the reference's ceil(3 sigma) (densify stats
+    # parity: gaussian_model.py max_radii2D).
+    rect_radius: jnp.ndarray = None  # int32, <= radius
 
     # Array-of-structs views for tests / visualization (not the hot path).
     @property
@@ -247,6 +253,11 @@ def _project_gaussians_impl(
     radius_f = jnp.ceil(RADIUS_SIGMA * jnp.sqrt(jnp.maximum(lam1, 0.0)))
     valid = in_front & (det > 0) & (opacity > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    # alpha(d) = a exp(-d^2/2sigma^2) >= 1/255  <=>  d <= sqrt(2 ln(255 a)) s
+    cut = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opacity), 0.0))
+    rect_f = jnp.minimum(radius_f,
+                         jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam1, 0.0))))
+    rect_radius = jnp.where(valid, rect_f, 0.0).astype(jnp.int32)
 
     # --- color from SH ----------------------------------------------------
     campos = camera_center(cam, align)
@@ -280,6 +291,7 @@ def _project_gaussians_impl(
         col_r=col_r, col_g=col_g, col_b=col_b,
         opacity=jnp.where(valid, opacity, 0.0),
         radius=radius,
+        rect_radius=rect_radius,
     )
 
 

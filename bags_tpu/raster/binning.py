@@ -118,7 +118,9 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     # (a 4k-wide image and Eyeful-scale populations); beyond that, fall back
     # to a stable two-operand sort with the tile id as the key.
     packed_key = num_tiles < 4095 and n < (1 << 20) and not force_wide_keys
-    x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, proj.radius,
+    rect_r_src = (proj.rect_radius if getattr(proj, "rect_radius", None)
+                  is not None else proj.radius)
+    x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, rect_r_src,
                                             tiles_x, tiles_y)
 
     # --- 1. depth-sort the Gaussians (rank order) --------------------------
@@ -216,6 +218,7 @@ def aligned_capacity(max_instances: int, num_tiles: int) -> int:
 def count_instances(proj: Projected, tiles_x: int, tiles_y: int) -> jnp.ndarray:
     """Scalar i32: instance slots this view needs (sum of tile coverage).
     Cheap (no sort/expansion) — drives capacity estimation."""
-    *_, ntiles = compute_tile_rects(proj.x2d, proj.y2d, proj.radius,
-                                    tiles_x, tiles_y)
+    r = (proj.rect_radius if getattr(proj, "rect_radius", None) is not None
+         else proj.radius)
+    *_, ntiles = compute_tile_rects(proj.x2d, proj.y2d, r, tiles_x, tiles_y)
     return jnp.sum(ntiles)
