@@ -54,14 +54,21 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          size_average: bool = True) -> jnp.ndarray:
-    """Windowed SSIM matching `_ssim` (loss_utils.py:56-76). imgs: (C, H, W)."""
+    """Windowed SSIM matching `_ssim` (loss_utils.py:56-76). imgs: (C, H, W).
+
+    The five moment maps ride ONE stacked blur (blur is linear): a single
+    22-shift separable pass over (5C, H, W) instead of five (C, H, W)
+    passes — fewer ops for XLA to schedule, identical math."""
     window = jnp.asarray(_gaussian_window(window_size))
-    mu1 = _blur(img1, window)
-    mu2 = _blur(img2, window)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    b = _blur(stacked, window)
+    mu1, mu2 = b[:c], b[c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
-    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    sigma1_sq = b[2 * c:3 * c] - mu1_sq
+    sigma2_sq = b[3 * c:4 * c] - mu2_sq
+    sigma12 = b[4 * c:5 * c] - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
         ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

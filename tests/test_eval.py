@@ -61,3 +61,39 @@ def test_pose_error_detects_perturbation(rng):
         cams, dq=jnp.asarray(rng.normal(0, 0.02, (n, 4)).astype(np.float32)))
     _, err = align_and_pose_error(pert, cams)
     assert err["rotation_deg_mean"] > 0.1
+
+
+def test_ssim_matches_torch_reference(rng):
+    """Pin SSIM against a torch re-implementation of the reference's
+    loss_utils.py:36-76 (gaussian window, depthwise conv, same padding)."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from bags_tpu.train.losses import ssim
+
+    a = rng.random((3, 40, 52)).astype("float32")
+    b = rng.random((3, 40, 52)).astype("float32")
+
+    def torch_ssim(x, y, ws=11, sigma=1.5):
+        import math
+        g = torch.tensor([math.exp(-(i - ws // 2) ** 2 / (2 * sigma ** 2))
+                          for i in range(ws)])
+        g = (g / g.sum()).unsqueeze(1)
+        w2d = g @ g.t()
+        w = w2d.expand(3, 1, ws, ws).contiguous()
+        x = torch.tensor(x).unsqueeze(0)
+        y = torch.tensor(y).unsqueeze(0)
+        mu1 = F.conv2d(x, w, padding=ws // 2, groups=3)
+        mu2 = F.conv2d(y, w, padding=ws // 2, groups=3)
+        m11, m22, m12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = F.conv2d(x * x, w, padding=ws // 2, groups=3) - m11
+        s2 = F.conv2d(y * y, w, padding=ws // 2, groups=3) - m22
+        s12 = F.conv2d(x * y, w, padding=ws // 2, groups=3) - m12
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * m12 + c1) * (2 * s12 + c2)) / \
+            ((m11 + m22 + c1) * (s1 + s2 + c2))
+        return float(m.mean())
+
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = torch_ssim(a, b)
+    assert abs(ours - ref) < 2e-5, (ours, ref)
