@@ -281,6 +281,19 @@ def main(argv=None):
 
     lpips_fn = Lpips()
 
+    # One jitted eval renderer per RenderConfig (the active SH degree
+    # changes at the 1k ramp); eager per-view rendering pays per-op
+    # dispatch over the device link.
+    _eval_jits = {}
+
+    def _eval_render(eval_cfg):
+        if eval_cfg not in _eval_jits:
+            _eval_jits[eval_cfg] = jax.jit(
+                lambda xyz, sc_, q, o, shc, cam, align, bg: render_fn(
+                    xyz, sc_, q, o, shc, cam, scene.static, eval_cfg,
+                    bg=bg, align=align).render)
+        return _eval_jits[eval_cfg]
+
     def _eval_view(split, i, eval_cfg, base):
         """Render one held-out/train view with the current calibration
         applied; returns (render, gt) both clipped/masked for metrics."""
@@ -315,10 +328,10 @@ def main(argv=None):
                 sub_q = jnp.stack([s.q_init[0] for s in subs[:4]])
                 sub_t = jnp.stack([s.t_init[0] for s in subs[:4]])
             return cubemap_eval(trainer.state, cam, gt_plain, sub_q, sub_t)
-        out = render_fn(g.xyz, g.scaling(), g.quats, g.opacity(alive),
-                        g.sh_coeffs(), cam, scene.static, eval_cfg,
-                        bg=trainer.bg, align=base.align)
-        return jnp.clip(out.render, 0.0, 1.0), gt_plain
+        out = _eval_render(eval_cfg)(g.xyz, g.scaling(), g.quats,
+                                     g.opacity(alive), g.sh_coeffs(), cam,
+                                     base.align, trainer.bg)
+        return jnp.clip(out, 0.0, 1.0), gt_plain
 
     def evaluate(it):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
