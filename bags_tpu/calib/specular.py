@@ -119,3 +119,20 @@ def specular_color(params: SpecularParams, asg_features: jnp.ndarray,
     h = jax.nn.relu(h @ params.w1 + params.b1)
     h = jax.nn.relu(h @ params.w2 + params.b2)
     return h @ params.w3 + params.b3
+
+
+def specular_extra_color(params: SpecularParams, xyz: jnp.ndarray,
+                         asg_features: jnp.ndarray, cam, align=None
+                         ) -> jnp.ndarray:
+    """Per-Gaussian specular color offset for camera `cam` — the hybrid
+    path's `mlp_color` term (gaussian_renderer/__init__.py:90-95): normalize
+    camera->Gaussian view directions (squared-norm clipped BEFORE the sqrt;
+    clip(sqrt(s)) has a 0*inf VJP at s == 0) and evaluate the ASG MLP.
+    Shared by the single-chip step, the sharded step, and render.py."""
+    from ..core.camera import camera_center
+
+    campos = camera_center(cam, align)
+    dirs = xyz - campos[None, :]
+    dirs = dirs / jnp.sqrt(jnp.clip(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
+    return specular_color(params, asg_features, dirs)

@@ -133,6 +133,11 @@ class Scene:
             pcd.points, pcd.colors, cap, sh_degree)
         self._cache: Dict[Tuple[str, int], np.ndarray] = {}
         self._max_cache = max_image_cache
+        import threading
+        # The trainer prefetches the next image on an IO thread while the
+        # main thread may load eval views; the eviction path iterates the
+        # dict, so cache access must be serialized.
+        self._cache_lock = threading.Lock()
 
     # -- image access -------------------------------------------------------
 
@@ -140,13 +145,17 @@ class Scene:
         info = infos[idx]
         path = info.fish_image_path if fish else info.image_path
         key = (path, id(infos))
-        if key not in self._cache:
-            if len(self._cache) >= self._max_cache:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = load_image(
+        with self._cache_lock:
+            img = self._cache.get(key)
+        if img is None:
+            img = load_image(
                 path, (self.static.width, self.static.height),
                 info.white_background or self.white_background)
-        return jnp.asarray(self._cache[key])
+            with self._cache_lock:
+                if len(self._cache) >= self._max_cache:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = img
+        return jnp.asarray(img)
 
     def train_image(self, idx: int) -> jnp.ndarray:
         return self._load(self.train_infos, idx)

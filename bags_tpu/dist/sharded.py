@@ -78,14 +78,9 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                             opacity_raw=opacity_raw)
         extra = None
         if hybrid:
-            from ..calib.specular import specular_color
-            from ..core.camera import camera_center
+            from ..calib.specular import specular_extra_color
 
-            campos = camera_center(cam, align)
-            dirs = xyz - campos[None, :]
-            dirs = dirs / jnp.sqrt(jnp.clip(
-                jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
-            extra = specular_color(spec, asg, dirs)
+            extra = specular_extra_color(spec, xyz, asg, cam, align)
         proj = project_gaussians(
             xyz, g_local.scaling(), quats, g_local.opacity(alive),
             g_local.sh_coeffs(), cam, static, rcfg.sh_degree,

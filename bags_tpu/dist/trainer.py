@@ -46,10 +46,14 @@ from .sharded import make_sharded_train_step
 def init_distributed(**kwargs) -> bool:
     """Multi-host initialization (`jax.distributed.initialize`). Reads the
     standard coordinator env (JAX_COORDINATOR_ADDRESS etc.) or explicit
-    kwargs; no-op when already initialized or single-process."""
+    kwargs; no-op when already initialized or single-process.
+
+    MUST run before any JAX call that initializes the XLA backend (even
+    `jax.process_count()` does) — train.py calls it first thing in main()
+    when --mesh is set, before the Scene builds any device array."""
     import os
 
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return True
     addr = kwargs.get("coordinator_address") or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")

@@ -223,6 +223,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 loss = photometric_loss(image, gt_warped, lam)
             return loss, (out, image)
 
+
         (loss, (out, image)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7), has_aux=True)(
                 b.g, cam_i, b.align, probe, absp, state.lens, state.vig,
@@ -272,7 +273,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             state, base=new_base, lens=new_lens, lens_opt=lens_opt,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
             shift_opt=shift_opt)
-        return new_state, (loss, image)
+        return new_state, (loss, image, out.n_dropped)
 
     return step
 
@@ -360,9 +361,10 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                 l1_sum = l1_sum + l1_loss(a, bb)
                 ssim_sum = ssim_sum + ssim_fn(a, bb)
             loss = (1 - lam) * l1_sum + lam * (5.0 - ssim_sum)
-            return loss, (main, faces[0])
+            n_drop = sum(o.n_dropped for o in outs)
+            return loss, (main, faces[0], n_drop)
 
-        (loss, (main, face0)), grads = jax.value_and_grad(
+        (loss, (main, face0, n_drop)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
                 b.g, cam_i, b.align, probe, absp, state.cubemap_net)
         g_grads, cam_grads, _, signed_stat, abs_stat, cub_grads = grads
@@ -389,7 +391,7 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
             stats=stats, step=b.step + 1)
         return dataclasses.replace(state, base=new_base, cubemap_net=new_cub,
-                                   cubemap_opt=cub_opt), (loss, face0)
+                                   cubemap_opt=cub_opt), (loss, face0, n_drop)
 
     return step
 
@@ -494,16 +496,16 @@ class CalibTrainer(Trainer):
         if self.mode == "fisheye":
             gt_img = self.fish_images(idx) if callable(self.fish_images) \
                 else self.fish_images[idx]
-            self.state, (loss, _) = step(self.state, gt_img, self.p_view,
-                                         jnp.asarray(idx), self.bg)
+            self.state, (loss, _, n_drop) = step(
+                self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         else:
-            self.state, (loss, _) = step(self.state, gt, jnp.asarray(idx),
-                                         self.bg, self.sub_q[idx],
-                                         self.sub_t[idx])
+            self.state, (loss, _, n_drop) = step(
+                self.state, gt, jnp.asarray(idx), self.bg, self.sub_q[idx],
+                self.sub_t[idx])
         b = self.state.base
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(b.alive),
-                           n_dropped=jnp.zeros((), jnp.int32))
+                           n_dropped=n_drop)
 
     def _base_transform(self, fn):
         self.state = dataclasses.replace(self.state, base=fn(self.state.base))

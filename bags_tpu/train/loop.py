@@ -159,17 +159,8 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         def loss_fn(g: Gaussians, cam, align, probe2d, abs_probe, spec):
             extra = None
             if hybrid:
-                # Specular ASG color offset added to the SH color — the
-                # intended `mlp_color` path (gaussian_renderer/__init__.py:
-                # 90-95, render.py:130-136).
-                from ..calib.specular import specular_color
-                from ..core.camera import camera_center
-                campos = camera_center(cam, align)
-                dirs = g.xyz - campos[None, :]
-                # clip BEFORE sqrt: avoids 0*inf -> NaN VJP at zero norm
-                dirs = dirs / jnp.sqrt(jnp.clip(
-                    jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
-                extra = specular_color(spec, g.asg, dirs)
+                from ..calib.specular import specular_extra_color
+                extra = specular_extra_color(spec, g.xyz, g.asg, cam, align)
             out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                          g.sh_coeffs(), cam, static, rcfg, bg=bg,
                          align=align, probe2d=probe2d, abs_probe=abs_probe,
@@ -327,6 +318,14 @@ def opacity_reset_step(state: TrainState):
     return dataclasses.replace(state, g=g, g_opt=g_opt)
 
 
+def snap_capacity(needed: int, headroom: float = 1.3) -> int:
+    """Instance-budget ladder: needed x headroom, >= 2^17, snapped up to a
+    65536 multiple. THE single source of the sizing policy (estimate_capacity,
+    Trainer._grow_capacity, and bench.py all call this)."""
+    cap = max(int(needed * headroom), 2 ** 17)
+    return -(-cap // 65536) * 65536
+
+
 def estimate_capacity(g: Gaussians, alive, cams: CameraParams,
                       static: CameraStatic, sample: int = 8,
                       headroom: float = 1.3, seed: int = 0) -> int:
@@ -353,8 +352,7 @@ def estimate_capacity(g: Gaussians, alive, cams: CameraParams,
 
     worst = max(int(one(jax.tree_util.tree_map(lambda x: x[i], cams)))
                 for i in idxs)
-    cap = max(int(worst * headroom), 2 ** 17)
-    return -(-cap // 65536) * 65536
+    return snap_capacity(worst, headroom)
 
 
 def init_train_state(g: Gaussians, alive, cams: CameraParams,
@@ -485,9 +483,11 @@ class Trainer:
         import dataclasses as _dc
 
         old = self.rcfg.max_instances
-        need = int((old + n_dropped) * 1.3)
-        new = -(-need // 65536) * 65536
+        new = snap_capacity(old + n_dropped)
         self.rcfg = _dc.replace(self.rcfg, max_instances=new)
+        # keep the config in sync: eval/gui renderers and the cfg.json
+        # persisted at checkpoints read cfg.max_instances.
+        self.cfg.max_instances = new
         self._steps = {}
         print(f"[capacity] {n_dropped} instances dropped: growing "
               f"max_instances {old} -> {new} (recompiling)", flush=True)

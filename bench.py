@@ -58,7 +58,8 @@ def main():
         project_gaussians(*a, static, 0), tiles_x, tiles_y))(
             sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
             sc["sh_coeffs"], sc["cam"]))
-    cap = -(-max(int(n_inst * 1.3), 2 ** 17) // 65536) * 65536
+    from bags_tpu.train.loop import snap_capacity
+    cap = snap_capacity(n_inst)
     cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap)
     gt = jnp.zeros((3, height, width), jnp.float32)
 

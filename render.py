@@ -47,6 +47,9 @@ def _load_trained_state(args):
     with open(cfg_path) as f:
         cfg = TrainConfig.from_json(f.read())
     cfg.model.source_path = args.source_path  # data may have moved
+    # Rendering needs no device mesh: a --mesh N checkpoint must load on a
+    # single-chip host (the TrainState pytree is identical either way).
+    cfg.mesh = 0
     scene, trainer, rcfg = build_scene_and_trainer(cfg, backend=args.backend)
     trainer.state = load_checkpoint(ck, trainer.state)
     trainer.active_sh_degree = trainer.max_sh_degree
@@ -133,13 +136,8 @@ def main(argv=None):
     def render_cam(cam):
         extra = None
         if spec is not None and g.asg is not None:
-            from bags_tpu.calib.specular import specular_color
-            from bags_tpu.core.camera import camera_center
-            campos = camera_center(cam, align)
-            dirs = g.xyz - campos[None, :]
-            dirs = dirs / jnp.sqrt(jnp.clip(
-                jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
-            extra = specular_color(spec, g.asg, dirs)
+            from bags_tpu.calib.specular import specular_extra_color
+            extra = specular_extra_color(spec, g.xyz, g.asg, cam, align)
         return render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                       g.sh_coeffs(), cam, static, cfg, bg=bg,
                       align=align, extra_color=extra).render

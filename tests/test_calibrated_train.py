@@ -80,7 +80,7 @@ def test_fisheye_train_step_runs_and_descends():
     st = calib_state
     bg = jnp.zeros(3)
     for i in range(6):
-        st, (loss, img) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
+        st, (loss, img, _) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -113,7 +113,7 @@ def test_cubemap_train_step_runs():
                              max_instances=2 ** 13),
         cfg, g_tx, txs, sh_degree=0, focal_x=24.0, focal_y=24.0)
     gt = jnp.full((3, 48, 48), 0.3)
-    st, (loss, face0) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
+    st, (loss, face0, _) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
                              sub_q, sub_t)
     assert np.isfinite(float(loss))
     assert face0.shape == (3, 48, 48)

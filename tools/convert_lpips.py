@@ -67,9 +67,15 @@ def convert(net_type: str, out: str) -> None:
                 arrays[f"tap_{conv_i - 1}"] = np.asarray(taps[idx])
 
     for k in range(5):
-        key = f"lin.{k}.model.1.weight"
-        w = lin_sd[key].detach().numpy().reshape(-1)
-        arrays[f"lin{k}_w"] = w
+        # official richzhang v0.1 state-dict keys are 'lin{k}.model.1.weight'
+        # (the reference's get_state_dict strips 'lin'/'model.' to '{k}.1.weight')
+        for key in (f"lin{k}.model.1.weight", f"lin.{k}.model.1.weight",
+                    f"{k}.1.weight"):
+            if key in lin_sd:
+                break
+        else:
+            raise KeyError(f"no linear weight for tap {k}: {list(lin_sd)[:6]}")
+        arrays[f"lin{k}_w"] = lin_sd[key].detach().numpy().reshape(-1)
 
     np.savez(out, **arrays)
     print(f"wrote {out} ({len(arrays)} arrays)")

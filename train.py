@@ -162,6 +162,25 @@ def args_to_config(args):
     )
 
 
+def _finalize_capacity(cfg, trainer, rcfg):
+    """--max_instances 0: estimate the budget AFTER trainer construction so
+    the trainer's ACTUAL render geometry is measured (CalibTrainer renders
+    at the extended-FoV render_static, which needs far more instances than
+    the raw perspective cameras would suggest)."""
+    if cfg.max_instances:
+        return rcfg
+    from bags_tpu.train.loop import estimate_capacity
+
+    base = getattr(trainer.state, "base", trainer.state)
+    cfg.max_instances = estimate_capacity(
+        base.g, base.alive, base.cams, trainer.static, seed=cfg.seed)
+    trainer.rcfg = dataclasses.replace(trainer.rcfg,
+                                       max_instances=cfg.max_instances)
+    print(f"instance budget: auto-sized to {cfg.max_instances} "
+          f"(grows on overflow)", flush=True)
+    return trainer.rcfg
+
+
 def build_scene_and_trainer(cfg, backend: str = "auto"):
     """Construct the Scene + Trainer exactly as training does, from a
     (possibly cfg.json-restored) TrainConfig. Shared with render.py so that
@@ -179,25 +198,17 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                   sh_degree=cfg.model.sh_degree, images_dir=cfg.model.images,
                   init_type=("random" if cfg.random_init_pc
                              else cfg.model.init_type))
-    if not cfg.max_instances:
-        from bags_tpu.train.loop import estimate_capacity
-        cfg.max_instances = estimate_capacity(
-            scene.gaussians, scene.alive, scene.train_cams, scene.static,
-            seed=cfg.seed)
-        print(f"instance budget: auto-sized to {cfg.max_instances} "
-              f"(grows on overflow)", flush=True)
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
-                        max_instances=cfg.max_instances)
+                        max_instances=cfg.max_instances or 2 ** 20)
     if getattr(cfg, "mesh", 0):
-        from bags_tpu.dist.trainer import ShardedTrainer, init_distributed
+        from bags_tpu.dist.trainer import ShardedTrainer
 
-        init_distributed()
         trainer = ShardedTrainer(
             scene.gaussians, scene.alive, scene.train_cams, scene.static,
             cfg, scene_extent=scene.cameras_extent,
             gt_images=scene.train_image, rcfg=rcfg, seed=cfg.seed,
             n_devices=cfg.mesh)
-        return scene, trainer, rcfg
+        return scene, trainer, _finalize_capacity(cfg, trainer, rcfg)
     if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
         from bags_tpu.train.calibrated import CalibTrainer
 
@@ -223,7 +234,7 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                           scene_extent=scene.cameras_extent,
                           gt_images=scene.train_image, rcfg=rcfg,
                           seed=cfg.seed)
-    return scene, trainer, rcfg
+    return scene, trainer, _finalize_capacity(cfg, trainer, rcfg)
 
 
 def main(argv=None):
@@ -232,6 +243,12 @@ def main(argv=None):
     argv = apply_preset(list(argv if argv is not None else sys.argv[1:]))
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
+
+    if args.mesh:
+        # Multi-host init must precede ANY backend-initializing JAX call
+        # (jax.distributed.initialize raises once the XLA backend exists).
+        from bags_tpu.dist.trainer import init_distributed
+        init_distributed()
 
     import jax
     import jax.numpy as jnp
@@ -455,6 +472,10 @@ def main(argv=None):
         if it in cfg.checkpoint_iterations:
             save_checkpoint(os.path.join(args.model_path, f"chkpnt{it}.npz"),
                             state)
+            # re-persist the config: capacity may have auto-grown since the
+            # initial write, and render.py sizes its buffers from cfg.json
+            with open(os.path.join(args.model_path, "cfg.json"), "w") as f:
+                f.write(cfg.to_json())
 
     trainer.run(iterations=args.iterations, callback=callback)
     print("\nTraining complete.")
