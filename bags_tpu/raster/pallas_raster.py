@@ -165,7 +165,7 @@ def _color4(chunk):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tiles_x: int, max_chunks: int,
-                start_ref, count_ref, rows_hbm,
+                start_ref, count_ref, nxt_ref, rows_hbm,
                 out_color, out_t, scratch, sems):
     t = pl.program_id(0)
     # Tile starts are NOT chunk-aligned (binning v3): DMA windows are taken
@@ -175,15 +175,34 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
     count = count_ref[t]
     n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
     px, py = _pixel_coords(tiles_x)
+    num_tiles = pl.num_programs(0)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(start + chunk_idx * K, K)],
             scratch.at[slot], sems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    def dma_tile0(tile):
+        # chunk 0 of another tile — the cross-program prefetch handoff.
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(start_ref[tile], K)],
+            scratch.at[0], sems.at[0])
+
+    # Cross-program DMA pipelining: every NON-EMPTY tile's chunk-0 copy is
+    # started by the PREVIOUS non-empty tile's program (nxt_ref holds the
+    # next non-empty tile id), so the grid never exposes a cold DMA start.
+    # Program 0 bootstraps the chain.
+    @pl.when((t == 0) & (n_chunks > 0))
     def _():
         dma(0, 0).start()
+
+    @pl.when((t == 0) & (n_chunks == 0))
+    def _():
+        nt = nxt_ref[t]
+
+        @pl.when(nt < num_tiles)
+        def _():
+            dma_tile0(nt).start()
 
     # Early termination: stop streaming chunks once every pixel in the tile
     # has saturated (done == 1 everywhere) — the chunked analogue of the
@@ -227,6 +246,16 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
     def _():
         dma(jax.lax.rem(i_end, 2), i_end).wait()
 
+    # Hand the DMA pipeline to the next non-empty tile (slot 0 is free:
+    # every in-flight copy above has been waited).
+    @pl.when(n_chunks > 0)
+    def _():
+        nt = nxt_ref[t]
+
+        @pl.when(nt < num_tiles)
+        def _():
+            dma_tile0(nt).start()
+
     out_color[0] = acc
     out_t[0] = t_run
 
@@ -236,8 +265,8 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(tiles_x: int, max_chunks: int,
-                start_ref, count_ref, rows_hbm, g_color_ref, g_t_ref,
-                c_total_ref, t_final_ref,
+                start_ref, count_ref, nxt_ref, rows_hbm, g_color_ref,
+                g_t_ref, c_total_ref, t_final_ref,
                 drows_hbm, scratch, dscratch, sems, dsems):
     t = pl.program_id(0)
     # Unaligned starts (binning v3). Spill lanes of the last window overlap
@@ -257,19 +286,35 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     # <g, C_total>: the only cross-channel state the suffix trick needs.
     g_dot_ctotal = jnp.sum(g * c_total, axis=1, keepdims=True)   # (NPIX, 1)
 
+    num_tiles = pl.num_programs(0)
+
     def dma_in(slot, chunk_idx):
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(start + chunk_idx * K, K)],
             scratch.at[slot], sems.at[slot])
+
+    def dma_in_tile0(tile):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(start_ref[tile], K)],
+            scratch.at[0], sems.at[0])
 
     def dma_out(slot, chunk_idx):
         return pltpu.make_async_copy(
             dscratch.at[slot],
             drows_hbm.at[:, pl.ds(start + chunk_idx * K, K)], dsems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    # Cross-program chunk-0 prefetch handoff (see _fwd_kernel).
+    @pl.when((t == 0) & (n_chunks > 0))
     def _():
         dma_in(0, 0).start()
+
+    @pl.when((t == 0) & (n_chunks == 0))
+    def _():
+        nt = nxt_ref[t]
+
+        @pl.when(nt < num_tiles)
+        def _():
+            dma_in_tile0(nt).start()
 
     g_t_tfin = g_t * t_final        # (NPIX, 1) hoisted
 
@@ -366,6 +411,15 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     def _():
         dma_in(jax.lax.rem(i_end, 2), i_end).wait()
 
+    # Hand the input DMA pipeline to the next non-empty tile.
+    @pl.when(n_chunks > 0)
+    def _():
+        nt = nxt_ref[t]
+
+        @pl.when(nt < num_tiles)
+        def _():
+            dma_in_tile0(nt).start()
+
     # Zero-fill loop for early-terminated chunks (same slot rotation, so the
     # in-flight output DMA bookkeeping below stays uniform).
     def zbody(j, _):
@@ -402,12 +456,21 @@ def _composite_core(rows, tile_start, tile_count, tiles_x, tiles_y):
     return color, t_final
 
 
+def _next_nonempty(tile_count):
+    """nxt[t] = smallest t' > t with tile_count[t'] > 0, else num_tiles —
+    drives the kernels' cross-program DMA handoff."""
+    T = tile_count.shape[0]
+    idx = jnp.where(tile_count > 0, jnp.arange(T, dtype=jnp.int32), T)
+    suff = jax.lax.cummin(idx[::-1])[::-1]          # min over t'..T-1
+    return jnp.concatenate([suff[1:], jnp.full((1,), T, jnp.int32)])
+
+
 def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     assert rows.shape[0] == FEATS and m_pad % K == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -429,7 +492,7 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
             jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(tile_start, tile_count, rows)
+    )(tile_start, tile_count, _next_nonempty(tile_count), rows)
     return color, t_final[:, :, 0]
 
 
@@ -445,7 +508,7 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                     # rows
@@ -471,7 +534,7 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((FEATS, m_pad), jnp.float32)],
         interpret=_interpret(),
-    )(tile_start, tile_count, rows,
+    )(tile_start, tile_count, _next_nonempty(tile_count), rows,
       jnp.transpose(g_color, (0, 2, 1)), g_t[:, :, None],
       jnp.transpose(color, (0, 2, 1)), t_final[:, :, None])[0]
 
