@@ -80,3 +80,28 @@ def test_pallas_grads_vs_naive_reference():
     for lp, lr in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lr),
                                    atol=1e-5, rtol=1e-3)
+
+
+def test_pallas_grads_unaligned_spill_across_tiles():
+    """Adversarial case for binning v3's unaligned segments: many small
+    splats so most tiles have counts not divisible by the chunk width —
+    every tile's last backward DMA window spills into its neighbor's slots
+    and must be rewritten correctly in program order."""
+    sc = make_toy_scene(n=700, width=64, height=48, sh_degree=0, seed=21,
+                        scale_range=(0.01, 0.05))
+    target = jnp.zeros((3, 48, 64))
+
+    def loss(backend, xyz, opac, cam_dq):
+        import dataclasses
+        cam = dataclasses.replace(sc["cam"], dq=cam_dq)
+        cfg = RenderConfig(sh_degree=0, backend=backend, max_instances=16384)
+        out = render(xyz, sc["scales"], sc["quats"], opac, sc["sh_coeffs"],
+                     cam, sc["static"], cfg)
+        return jnp.mean((out.render - target) ** 2)
+
+    args = (sc["xyz"], sc["opacity"], jnp.zeros(4))
+    gj = jax.grad(lambda *a: loss("jnp", *a), argnums=(0, 1, 2))(*args)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(*args)
+    for a, b in zip(gj, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)

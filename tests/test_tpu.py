@@ -124,3 +124,34 @@ def test_pallas_chip_early_termination_opaque():
         a, b = np.asarray(g_j[i]), np.asarray(g_p[i])
         rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
         assert rel < 5e-3, f"{name} grad rel diff {rel}"
+
+
+@pytest.mark.tpu
+def test_pallas_chip_unaligned_spill_grads():
+    """Real-Mosaic check of binning v3's cross-tile spill writes + the
+    cross-program DMA handoff: many small splats, unaligned tile counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from bags_tpu.raster import RenderConfig, render
+    from bags_tpu.utils.testing import make_toy_scene
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip")
+    sc = make_toy_scene(n=700, width=64, height=48, sh_degree=0, seed=21,
+                        scale_range=(0.01, 0.05))
+    target = jnp.zeros((3, 48, 64))
+
+    def loss(backend, xyz, opac):
+        cfg = RenderConfig(sh_degree=0, backend=backend, max_instances=16384)
+        out = render(xyz, sc["scales"], sc["quats"], opac, sc["sh_coeffs"],
+                     sc["cam"], sc["static"], cfg)
+        return jnp.mean((out.render - target) ** 2)
+
+    gj = jax.jit(jax.grad(lambda *a: loss("jnp", *a), argnums=(0, 1)))(
+        sc["xyz"], sc["opacity"])
+    gp = jax.jit(jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1)))(
+        sc["xyz"], sc["opacity"])
+    for a, b in zip(gj, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-6)
