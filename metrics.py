@@ -24,9 +24,14 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
+    import jax
+
     from bags_tpu.eval.metrics import Lpips, psnr, ssim
 
     lpips = Lpips()
+    # one trace per image shape (constant within a run)
+    psnr_j = jax.jit(psnr)
+    ssim_j = jax.jit(ssim)
 
     for model_path in args.model_paths:
         full, per_view = {}, {}
@@ -48,8 +53,8 @@ def main(argv=None):
                                    dtype=np.float32) / 255.0
                     r = jnp.asarray(r[..., :3].transpose(2, 0, 1))
                     g = jnp.asarray(g[..., :3].transpose(2, 0, 1))
-                    psnrs.append(float(psnr(r, g)))
-                    ssims.append(float(ssim(r, g)))
+                    psnrs.append(float(psnr_j(r, g)))
+                    ssims.append(float(ssim_j(r, g)))
                     lpipss.append(float(lpips(r, g)))
                 key = f"{split}/{method}"
                 full[key] = {
