@@ -61,6 +61,12 @@ class OptimizationConfig:
     densify_until_iter: int = 15_000
     densify_grad_threshold: float = 0.0002
     abs_densify_grad_threshold: float = 0.0004
+    # K training views per iteration (1 = reference semantics). K > 1
+    # renders/backprops K cameras per step: Gaussian grads average over
+    # views, every sampled camera takes one Adam step, densify stats
+    # accumulate per view — a larger batch that amortizes fixed per-step
+    # cost on TPU. Cadences (densify/eval/SH ramp) stay per ITERATION.
+    batch_cams: int = 1
     # MCMC variant (3DGS-MCMC) regularizers (arguments/__init__.py:95-97)
     noise_lr: float = 5e5
     scale_reg: float = 0.01

@@ -93,7 +93,11 @@ def row_adam_update(params: CameraParams, st: RowAdamState,
     def upd(p, mu, nu, g, lr_leaf):
         mu_row = b1 * mu[idx] + (1 - b1) * g
         nu_row = b2 * nu[idx] + (1 - b2) * g * g
-        step = lr_leaf * (mu_row / bc1) / (jnp.sqrt(nu_row / bc2) + ADAM_EPS)
+        # idx may be a (K,) vector (batch_cams > 1): align the per-row bias
+        # corrections against each leaf's trailing dims.
+        sh = bc1.shape + (1,) * (g.ndim - bc1.ndim)
+        b1c, b2c = bc1.reshape(sh), bc2.reshape(sh)
+        step = lr_leaf * (mu_row / b1c) / (jnp.sqrt(nu_row / b2c) + ADAM_EPS)
         return (p.at[idx].add(-step), mu.at[idx].set(mu_row),
                 nu.at[idx].set(nu_row))
 
@@ -147,16 +151,20 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
     lam = cfg.opt.lambda_dssim
     hybrid = cfg.calib.hybrid
 
+    K = cfg.opt.batch_cams
+
     @jax.jit
     def train_step(state: TrainState, gt: jnp.ndarray, cam_idx: jnp.ndarray,
                    bg: jnp.ndarray):
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], state.cams)
         alive = state.alive
         n_cap = state.g.capacity
-        probe = jnp.zeros((n_cap, 2), jnp.float32)
-        absp = jnp.zeros((n_cap, 2), jnp.float32)
+        lead = (K,) if K > 1 else ()
+        probe = jnp.zeros(lead + (n_cap, 2), jnp.float32)
+        absp = jnp.zeros(lead + (n_cap, 2), jnp.float32)
 
-        def loss_fn(g: Gaussians, cam, align, probe2d, abs_probe, spec):
+        def one_view(g: Gaussians, cam, align, probe2d, abs_probe, spec,
+                     gt_one):
             extra = None
             if hybrid:
                 from ..calib.specular import specular_extra_color
@@ -165,7 +173,10 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                          g.sh_coeffs(), cam, static, rcfg, bg=bg,
                          align=align, probe2d=probe2d, abs_probe=abs_probe,
                          extra_color=extra)
-            loss = photometric_loss(out.render, gt, lam)
+            return photometric_loss(out.render, gt_one, lam), out
+
+        def regs(g):
+            loss = 0.0
             if cfg.mcmc:
                 # Reference means over the N *actual* Gaussians
                 # (train.py:328-329), not the fixed capacity — dividing by
@@ -175,7 +186,23 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
                     jnp.abs(g.opacity(alive))) / n_alive
                 loss = loss + cfg.opt.scale_reg * jnp.sum(
                     jnp.abs(g.scaling() * alive[:, None])) / (3.0 * n_alive)
-            return loss, out
+            return loss
+
+        if K > 1:
+            # K views per step: mean photometric loss over the batch (the
+            # view-render vmap maps the Pallas grid), per-view probes so the
+            # densify stats accumulate exactly like K reference iterations.
+            def loss_fn(g, cams_k, align, probes, absps, spec):
+                losses, outs = jax.vmap(
+                    lambda c, pr, ap, g1: one_view(g, c, align, pr, ap,
+                                                   spec, g1))(
+                        cams_k, probes, absps, gt)
+                return jnp.mean(losses) + regs(g), outs
+        else:
+            def loss_fn(g, cam, align, probe2d, abs_probe, spec):
+                loss, out = one_view(g, cam, align, probe2d, abs_probe,
+                                     spec, gt)
+                return loss + regs(g), out
 
         argnums = (0, 1, 2, 3, 4, 5) if hybrid else (0, 1, 2, 3, 4)
         (loss, out), grads = jax.value_and_grad(
@@ -213,8 +240,15 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         # signed channel = grad of the per-Gaussian screen probe; abs channel
         # harvested inside the rasterizer's gradient reduction (render.py) —
         # no instance-level segment sums in the train step.
-        stats = update_stats(state.stats, signed_stat, abs_stat, out.radii,
-                             out.visibility)
+        if K > 1:
+            stats = state.stats
+            for k in range(K):
+                stats = update_stats(
+                    stats, signed_stat[k], abs_stat[k],
+                    out.radii[k], out.visibility[k])
+        else:
+            stats = update_stats(state.stats, signed_stat, abs_stat,
+                                 out.radii, out.visibility)
 
         l1 = jnp.mean(jnp.abs(out.render - gt))
         new_state = dataclasses.replace(
@@ -223,7 +257,7 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
             step=state.step + 1, spec=new_spec, spec_opt=spec_opt)
         metrics = StepMetrics(loss=loss, l1=l1,
                               n_alive=jnp.sum(alive),
-                              n_dropped=out.n_dropped)
+                              n_dropped=jnp.max(out.n_dropped))
         return new_state, metrics
 
     return train_step
@@ -454,6 +488,16 @@ class Trainer:
         self._refill_camera_stack()
         return int(self._camera_stack[-1])
 
+    def _next_cameras(self, k: int) -> list:
+        """k DISTINCT cameras (batch_cams > 1); the row-Adam scatter drops
+        duplicate indices, so distinctness is required."""
+        out: list = []
+        while len(out) < k:
+            i = self._next_camera()
+            if i not in out:
+                out.append(i)
+        return out
+
     def _fetch_gt(self, idx: int):
         """Ground truth for camera idx, overlapping disk IO with compute:
         while step i runs on device, a single IO thread loads step i+1's
@@ -501,8 +545,14 @@ class Trainer:
             # SH degree ramp every 1000 iters (train.py:202).
             if it % 1000 == 0 and self.active_sh_degree < self.max_sh_degree:
                 self.active_sh_degree += 1
-            idx = self._next_camera()
-            gt = self._fetch_gt(idx)
+            K = self.cfg.opt.batch_cams
+            if K > 1:
+                idx = self._next_cameras(K)
+                gt = jnp.stack([self._fetch_gt(i) for i in idx])
+                idx = jnp.asarray(idx, jnp.int32)
+            else:
+                idx = self._next_camera()
+                gt = self._fetch_gt(idx)
             metrics = self._invoke_step(it, idx, gt)
 
             if self.cfg.mcmc:

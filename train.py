@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--densify_until_iter", type=int, default=15_000)
     p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
     p.add_argument("--abs_densify_grad_threshold", type=float, default=0.0004)
+    p.add_argument("--batch_cams", type=int, default=1,
+                   help="training views per iteration (K > 1 amortizes "
+                        "fixed per-step cost; 1 = reference semantics)")
     # train.py:687-748 calibration / pose flags
     p.add_argument("--opt_cam", action="store_true")
     p.add_argument("--opt_intrinsic", action="store_true")
@@ -133,7 +136,8 @@ def args_to_config(args):
             densify_from_iter=args.densify_from_iter,
             densify_until_iter=args.densify_until_iter,
             densify_grad_threshold=args.densify_grad_threshold,
-            abs_densify_grad_threshold=args.abs_densify_grad_threshold),
+            abs_densify_grad_threshold=args.abs_densify_grad_threshold,
+            batch_cams=args.batch_cams),
         calib=CalibConfig(
             opt_cam=args.opt_cam, opt_intrinsic=args.opt_intrinsic,
             r_t_lr=tuple(args.r_t_lr[:2]),
