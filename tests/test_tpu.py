@@ -155,3 +155,32 @@ def test_pallas_chip_unaligned_spill_grads():
     for a, b in zip(gj, gp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=2e-6)
+
+
+@pytest.mark.tpu
+def test_pallas_chip_vmap_batched_views():
+    """Real-Mosaic check that vmap over the compositing kernels (the
+    --batch_cams path) matches per-view rendering."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bags_tpu.raster import RenderConfig, render
+    from bags_tpu.utils.testing import make_toy_scene
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip")
+    sc = make_toy_scene(n=300, width=64, height=48, sh_degree=0, seed=5)
+    cfg = RenderConfig(sh_degree=0, backend="pallas", max_instances=8192)
+    cams = [dataclasses.replace(sc["cam"], dt=jnp.array([0.02 * i, 0., 0.]))
+            for i in range(3)]
+    cam_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *cams)
+
+    def one(cam):
+        return render(sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+                      sc["sh_coeffs"], cam, sc["static"], cfg).render
+
+    seq = jnp.stack([jax.jit(one)(c) for c in cams])
+    bat = jax.jit(jax.vmap(one))(cam_b)
+    np.testing.assert_allclose(np.asarray(bat), np.asarray(seq), atol=1e-6)
