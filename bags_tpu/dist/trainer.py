@@ -110,12 +110,33 @@ class ShardedTrainer(Trainer):
         self._gt_sharding = NamedSharding(self.mesh, P(None, "tile", None))
 
     def _pad_gt(self, gt):
-        gt = jnp.asarray(gt)
-        if gt.shape[1] != self.pad_height:
-            gt = jnp.pad(gt, ((0, 0),
-                              (0, self.pad_height - gt.shape[1]),
-                              (0, 0)))
-        return jax.device_put(gt, self._gt_sharding)
+        """Zero-pad the GT to the mesh-divisible height and lay it out
+        row-sharded. Built per-shard (`make_array_from_callback`): in a
+        multi-host mesh each host materializes ONLY its devices' row slabs —
+        the host-sharded data feed (no full-image broadcast over DCN)."""
+        if jax.process_count() == 1:
+            # single-host: keep the GT on device (np.asarray would force a
+            # device->host round trip when gt is already a device array)
+            gt = jnp.asarray(gt)
+            if gt.shape[1] != self.pad_height:
+                gt = jnp.pad(gt, ((0, 0),
+                                  (0, self.pad_height - gt.shape[1]),
+                                  (0, 0)))
+            return jax.device_put(gt, self._gt_sharding)
+        gt = np.asarray(gt)
+        c, h, w = gt.shape
+        shape = (c, self.pad_height, w)
+
+        def shard(idx):
+            rows = np.zeros((c, len(range(*idx[1].indices(self.pad_height))),
+                             w), np.float32)
+            r0, r1, _ = idx[1].indices(self.pad_height)
+            real = max(0, min(r1, h) - r0)
+            if real > 0:
+                rows[:, :real] = gt[:, r0:r0 + real]
+            return rows
+
+        return jax.make_array_from_callback(shape, self._gt_sharding, shard)
 
     # -- step dispatch -------------------------------------------------------
 
