@@ -22,3 +22,4 @@ print(f'per-dispatch overhead (trivial jit, {N}x chained): {dt*1e3:.3f} ms')
 timeout 1800 env BAGS_TPU_TEST_TPU=1 python -m pytest tests/test_tpu.py -m tpu -q 2>&1 | tail -4
 timeout 900 python bench.py 2>&1 | tail -2
 timeout 900 python profile.py 2>&1 | tail -8
+timeout 900 python tools/mesh1_parity.py 2>&1 | tail -4
