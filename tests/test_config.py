@@ -72,3 +72,33 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines[0]["loss"] == 0.5 and lines[0]["step"] == 1
     assert lines[1]["step"] == 2
+
+
+def test_snap_capacity_ladder():
+    from bags_tpu.train.loop import snap_capacity
+    assert snap_capacity(0) == 2 ** 17
+    assert snap_capacity(100_000) == 131072  # 130k -> ceil to 64k ladder
+    assert snap_capacity(645_885) == 851968  # bench-scale: 1.3x, 13*65536
+    assert snap_capacity(645_885) % 65536 == 0
+
+
+def test_finalize_capacity_estimates_from_trainer_geometry(tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import numpy as np
+    from test_data import _write_colmap_scene
+    from train import args_to_config, build_parser, build_scene_and_trainer
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=3, n_pts=40,
+                        rng=np.random.default_rng(2))
+    args = build_parser().parse_args(
+        ["-s", root, "--sh_degree", "0", "--cap_max", "128"])
+    cfg = args_to_config(args)
+    assert cfg.max_instances == 0
+    scene, trainer, rcfg = build_scene_and_trainer(cfg, backend="jnp")
+    assert cfg.max_instances >= 2 ** 17
+    assert rcfg.max_instances == cfg.max_instances
+    assert trainer.rcfg.max_instances == cfg.max_instances
