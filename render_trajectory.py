@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--max_instances", type=int, default=2 ** 20)
     p.add_argument("--white_background", "-w", action="store_true")
     p.add_argument("--gif", action="store_true")
+    p.add_argument("--panorama_fov", type=float, default=0.0,
+                   help="render 5 cubemap faces per pose and resample into "
+                        "a perspective view of this FoV (degrees) — the "
+                        "reference's render_mitsuba wide-FoV flow")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -78,9 +82,35 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit
-    def render_one(cam):
+    def render_plain(cam):
         return render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
                       g.sh_coeffs(), cam, scene.static, cfg, bg=bg).render
+
+    if args.panorama_fov > 0:
+        # 5-face cubemap render + dominant-axis resample per pose
+        # (render_mitsuba.py:273-440's perspective-from-cubemap flow).
+        import dataclasses
+
+        from bags_tpu.calib.cubemap import (SUB_CAMERA_ROTATIONS,
+                                            cubemap_to_perspective)
+        from bags_tpu.core.camera import rotate_camera_pose
+        from bags_tpu.core.lie import quat_to_rotmat, rotmat_to_quat
+
+        @jax.jit
+        def render_one(cam):
+            faces = [render_plain(cam)]                  # forward
+            R0 = quat_to_rotmat(cam.q_init)
+            for degs in SUB_CAMERA_ROTATIONS[:4]:        # up down left right
+                Rn, tn = rotate_camera_pose(R0, cam.t_init, *degs)
+                c = dataclasses.replace(cam, q_init=rotmat_to_quat(Rn),
+                                        t_init=tn)
+                faces.append(render_plain(c))
+            fwd, up, down, left, right = faces
+            return cubemap_to_perspective(
+                fwd, left, right, up, down, args.panorama_fov,
+                args.panorama_fov, scene.static.width, scene.static.height)
+    else:
+        render_one = render_plain
 
     from PIL import Image
     frames = []

@@ -189,3 +189,29 @@ def test_train_cli_mesh_checkpoint_resume(tmp_path):
                              "--start_checkpoint",
                              os.path.join(out, "chkpnt4.npz")])
     assert os.path.exists(os.path.join(out, "chkpnt6.npz"))
+
+
+def test_trajectory_cli_panorama(tmp_path):
+    """--panorama_fov renders 5 cubemap faces per pose and resamples them
+    into a wide-FoV perspective frame (render_mitsuba flow)."""
+    import numpy as np
+    import render_trajectory as traj_cli
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=3, n_pts=40,
+                        rng=np.random.default_rng(7))
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "4", "--sh_degree", "0",
+        "--backend", "jnp", "--max_instances", "4096", "--cap_max", "128",
+        "--densify_from_iter", "100000", "--test_iterations", "-1",
+        "--save_iterations", "4", "--checkpoint_iterations", "-1", "--quiet"])
+    tdir = str(tmp_path / "traj")
+    traj_cli.main(["-m", out, "-s", root, "--mode", "orbit",
+                   "--n_frames", "2", "--sh_degree", "0",
+                   "--backend", "jnp", "--max_instances", "4096",
+                   "--panorama_fov", "140", "--out", tdir])
+    frames = [f for f in os.listdir(tdir) if f.endswith(".png")]
+    assert len(frames) == 2
