@@ -70,6 +70,9 @@ class ShardedTrainer(Trainer):
                  cfg: TrainConfig, scene_extent: float, gt_images,
                  bg=None, rcfg: Optional[RenderConfig] = None,
                  seed: int = 0, mesh=None, n_devices: Optional[int] = None):
+        if cfg.opt.batch_cams > 1:
+            raise ValueError("--batch_cams > 1 is not supported with --mesh "
+                             "(the sharded step is single-view)")
         self.mesh = mesh or make_mesh(n_devices)
         d = self.mesh.devices.size
         from .mesh import padded_height

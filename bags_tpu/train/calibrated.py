@@ -416,6 +416,9 @@ class CalibTrainer(Trainer):
                  focal_x, focal_y, persp_wh, fish_wh=None, source_path="",
                  bg=None, rcfg=None, seed: int = 0, fish_images=None):
         calib = cfg.calib
+        if cfg.opt.batch_cams > 1:
+            raise ValueError("--batch_cams > 1 is not supported with the "
+                             "fisheye/cubemap calibrated modes")
         self.mode = "cubemap" if calib.cubemap else "fisheye"
         self.focal = (float(focal_x), float(focal_y))
         fish_wh = fish_wh or persp_wh

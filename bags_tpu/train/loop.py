@@ -241,10 +241,13 @@ def make_train_step(static: CameraStatic, rcfg: RenderConfig,
         # harvested inside the rasterizer's gradient reduction (render.py) —
         # no instance-level segment sums in the train step.
         if K > 1:
+            # mean-over-views scales every probe cotangent by 1/K; densify
+            # thresholds are absolute reference magnitudes for a SINGLE-view
+            # loss, so scale the stats back to per-view scale.
             stats = state.stats
             for k in range(K):
                 stats = update_stats(
-                    stats, signed_stat[k], abs_stat[k],
+                    stats, signed_stat[k] * K, abs_stat[k] * K,
                     out.radii[k], out.visibility[k])
         else:
             stats = update_stats(state.stats, signed_stat, abs_stat,
@@ -491,6 +494,11 @@ class Trainer:
     def _next_cameras(self, k: int) -> list:
         """k DISTINCT cameras (batch_cams > 1); the row-Adam scatter drops
         duplicate indices, so distinctness is required."""
+        base = getattr(self.state, "base", self.state)
+        n = int(base.cams.fovx.shape[0])
+        if k > n:
+            raise ValueError(
+                f"batch_cams={k} exceeds the {n} training cameras")
         out: list = []
         while len(out) < k:
             i = self._next_camera()
@@ -547,8 +555,12 @@ class Trainer:
                 self.active_sh_degree += 1
             K = self.cfg.opt.batch_cams
             if K > 1:
+                # no 1-deep prefetch here: jax dispatch is async, so these
+                # host loads already overlap the previous step's device time
                 idx = self._next_cameras(K)
-                gt = jnp.stack([self._fetch_gt(i) for i in idx])
+                load = (self.gt_images if callable(self.gt_images)
+                        else self.gt_images.__getitem__)
+                gt = jnp.stack([load(i) for i in idx])
                 idx = jnp.asarray(idx, jnp.int32)
             else:
                 idx = self._next_camera()

@@ -98,6 +98,10 @@ def main(argv=None):
 
         @jax.jit
         def render_one(cam):
+            # faces render at 90-degree FoV in BOTH axes: the resampler maps
+            # u,v in [-1,1] to tan(+-45 deg) at each face's edges
+            fov90 = jnp.asarray(np.pi / 2, jnp.float32)
+            cam = dataclasses.replace(cam, fovx=fov90, fovy=fov90)
             faces = [render_plain(cam)]                  # forward
             R0 = quat_to_rotmat(cam.q_init)
             for degs in SUB_CAMERA_ROTATIONS[:4]:        # up down left right
