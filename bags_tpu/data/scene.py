@@ -99,10 +99,11 @@ class Scene:
                  white_background: bool = False, capacity: Optional[int] = None,
                  sh_degree: int = 3, images_dir: str = "images",
                  init_type: str = "sfm", noise_seed: int = 55,
-                 max_image_cache: int = 512):
+                 max_image_cache: int = 512, num_pts: int = 100_000):
         self.info: SceneInfo = load_scene_info(
             source_path, eval_split=eval_split, images_dir=images_dir,
-            white_background=white_background, init_type=init_type)
+            white_background=white_background, init_type=init_type,
+            num_pts=num_pts)
         self.cameras_extent = float(self.info.nerf_normalization["radius"])
         self.white_background = white_background
         self.resolution = resolution

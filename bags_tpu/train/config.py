@@ -29,6 +29,8 @@ class ModelConfig:
     eval: bool = False
     cap_max: int = -1          # static capacity; -1 -> auto (4x init points)
     init_type: str = "sfm"
+    num_init_points: int = 100_000  # random-init population (the reference
+    #   hardcodes 100k, dataset_readers.py:288; tunable here for small scenes)
 
 
 @dataclasses.dataclass

@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_paths", "-m", nargs="+", required=True)
+    from bags_tpu.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args.platform)
 
     import jax.numpy as jnp
     import numpy as np

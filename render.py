@@ -76,7 +76,10 @@ def main(argv=None):
     p.add_argument("--optim_test_pose_iter", type=int, default=0,
                    help="test-time pose optimization iterations "
                         "(reference: 7000)")
+    from bags_tpu.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

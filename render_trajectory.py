@@ -32,7 +32,10 @@ def main(argv=None):
                         "a perspective view of this FoV (degrees) — the "
                         "reference's render_mitsuba wide-FoV flow")
     p.add_argument("--out", default=None)
+    from bags_tpu.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sh_degree", type=int, default=3)
     p.add_argument("--cap_max", type=int, default=-1)
     p.add_argument("--init_type", default="sfm")
+    p.add_argument("--num_init_points", type=int, default=100_000)
     # OptimizationParams (arguments/__init__.py:74-98)
     p.add_argument("--iterations", type=int, default=30_000)
     p.add_argument("--position_lr_init", type=float, default=0.00016)
@@ -109,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "training")
     p.add_argument("--ip", default="127.0.0.1")
     p.add_argument("--port", type=int, default=6009)
+    from bags_tpu.utils.platform import add_platform_arg
+    add_platform_arg(p)
     return p
 
 
@@ -122,7 +125,8 @@ def args_to_config(args):
             model_path=args.model_path, images=args.images,
             resolution=args.resolution,
             white_background=args.white_background, eval=args.eval,
-            cap_max=args.cap_max, init_type=args.init_type),
+            cap_max=args.cap_max, init_type=args.init_type,
+            num_init_points=args.num_init_points),
         opt=OptimizationConfig(
             iterations=args.iterations,
             position_lr_init=args.position_lr_init,
@@ -201,7 +205,8 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                             else None),
                   sh_degree=cfg.model.sh_degree, images_dir=cfg.model.images,
                   init_type=("random" if cfg.random_init_pc
-                             else cfg.model.init_type))
+                             else cfg.model.init_type),
+                  num_pts=cfg.model.num_init_points)
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
                         max_instances=cfg.max_instances or 2 ** 20)
     if getattr(cfg, "mesh", 0):
@@ -247,6 +252,9 @@ def main(argv=None):
     argv = apply_preset(list(argv if argv is not None else sys.argv[1:]))
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
+
+    from bags_tpu.utils.platform import apply_platform
+    apply_platform(args.platform)
 
     if args.mesh:
         # Multi-host init must precede ANY backend-initializing JAX call
