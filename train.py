@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "training")
     p.add_argument("--ip", default="127.0.0.1")
     p.add_argument("--port", type=int, default=6009)
+    # wandb mirror (reference train.py:759 init_wandb; scalars mirrored when
+    # the package + credentials exist, metrics.jsonl is always written)
+    p.add_argument("--wandb_project_name", default=None)
+    p.add_argument("--wandb_group_name", default=None)
+    p.add_argument("--wandb_mode", default="online")
     from bags_tpu.utils.platform import add_platform_arg
     add_platform_arg(p)
     return p
@@ -293,7 +298,10 @@ def main(argv=None):
         warm_ssim_grad()
 
     from bags_tpu.utils.logging import MetricsLogger
-    logger = MetricsLogger(args.model_path)
+    logger = MetricsLogger(args.model_path,
+                           use_wandb=args.wandb_project_name is not None,
+                           wandb_project=args.wandb_project_name,
+                           config=json.loads(cfg.to_json()))
     eval_file = os.path.join(args.model_path, "evaluation_results.txt")
 
     fisheye_eval = None
