@@ -48,6 +48,14 @@ TILE = 16   # pixels per tile side, matching the reference's 16x16 tiles
 CHUNK = 128  # Pallas chunk size (TPU lane width); also the spill margin
 
 
+def padded_chunks(m_pad: int, num_tiles: int) -> int:
+    """Static chunk capacity of the Pallas backward's padded gradient
+    buffer: every tile needs at most cdiv(count, CHUNK) + 1 output windows
+    (the +1 from the aligned-down head), and the cdiv terms sum to at most
+    m_pad/CHUNK + num_tiles."""
+    return m_pad // CHUNK + 2 * num_tiles
+
+
 class TileBins(NamedTuple):
     rank_sorted: jnp.ndarray  # (M + CHUNK,) int32 slot -> depth rank (N if invalid)
     depth_order: jnp.ndarray  # (N,) int32 rank -> Gaussian index
@@ -59,6 +67,9 @@ class TileBins(NamedTuple):
     # --- gradient-reduction aux (consumed by render.py's custom VJP; DCE'd
     # from forward-only graphs) ---------------------------------------------
     order2: jnp.ndarray      # (M,) int32: rank-grouped pos -> slot
+    order2p: jnp.ndarray     # (M,) int32: rank-grouped pos -> PADDED column
+    #   of the Pallas backward's per-tile-aligned gradient buffer (invalid
+    #   slots -> one past the buffer; gather with mode='fill')
     seg_cum: jnp.ndarray     # (N,) int32 inclusive cumsum of kept ntiles, rank order
     seg_len: jnp.ndarray     # (N,) int32 kept ntiles per rank
 
@@ -193,8 +204,27 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
         [rank_sorted, jnp.full((CHUNK,), n, jnp.int32)])
 
     # --- 5. rank-grouping permutation for the gradient reduction -----------
-    _, order2 = jax.lax.sort(
-        (rank_sorted[:m], jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    # padded_pos[s]: column of slot s in the Pallas backward's padded
+    # per-tile-aligned gradient buffer (= (ocs[t] - chunk0[t]) * CHUNK + s
+    # for the owning tile t); sorted as a second payload so `order2p` is the
+    # rank-grouped padded-column permutation the fused VJP gathers with.
+    chunk0 = tile_start // CHUNK
+    off_t = tile_start % CHUNK
+    n_ch = jnp.where(tile_count > 0, -(-(off_t + tile_count) // CHUNK), 0)
+    ocs = jnp.cumsum(n_ch) - n_ch
+    base = (ocs - chunk0) * CHUNK                      # (T,)
+    if packed_key:
+        tid_sorted = (tile_keys[:m] >> 20).astype(jnp.int32)
+    else:
+        tid_sorted = tile_keys[:m].astype(jnp.int32)
+    c_out = padded_chunks(m + CHUNK, num_tiles)
+    slots_m = jnp.arange(m, dtype=jnp.int32)
+    padded_pos = jnp.where(
+        tid_sorted < num_tiles,
+        jnp.take(base, jnp.minimum(tid_sorted, num_tiles - 1)) + slots_m,
+        c_out * CHUNK)
+    _, order2, order2p = jax.lax.sort(
+        (rank_sorted[:m], slots_m, padded_pos), num_keys=1)
 
     return TileBins(
         rank_sorted=rank_sorted,
@@ -205,6 +235,7 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
         n_dropped=n_dropped,
         rank_of=rank_of,
         order2=order2,
+        order2p=order2p,
         seg_cum=seg_cum.astype(jnp.int32),
         seg_len=seg_len.astype(jnp.int32),
     )

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, TILE
+from .binning import CHUNK, TILE, padded_chunks
 from .tiles import ALPHA_MAX, ALPHA_MIN, T_EPS, TileImage
 
 NPIX = TILE * TILE     # 256 pixels per tile
@@ -165,27 +165,31 @@ def _color4(chunk):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tiles_x: int, max_chunks: int,
-                start_ref, count_ref, nxt_ref, rows_hbm,
+                chunk0_ref, off_ref, count_ref, nxt_ref, rows_hbm,
                 out_color, out_t, scratch, sems):
     t = pl.program_id(0)
-    # Tile starts are NOT chunk-aligned (binning v3): DMA windows are taken
-    # at arbitrary lane offsets, and the final window may spill into the
-    # next tile's slots — the `valid` lane mask excludes them.
-    start = start_ref[t]
+    # Tile starts are NOT chunk-aligned (binning v3), but Mosaic requires
+    # DMA offsets provably divisible by the lane tiling, so every window is
+    # taken at the ALIGNED-DOWN chunk boundary `(chunk0 + i) * K` and the
+    # `off` head lanes (plus the tail spill) are excluded by the `valid`
+    # lane mask. `chunk0`/`off` are host-computed (tile_start // K, % K).
+    chunk0 = chunk0_ref[t]
+    off = off_ref[t]
     count = count_ref[t]
-    n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
+    n_chunks = jnp.where(
+        count > 0, jnp.minimum(pl.cdiv(off + count, K), max_chunks), 0)
     px, py = _pixel_coords(tiles_x)
     num_tiles = pl.num_programs(0)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(start + chunk_idx * K, K)],
+            rows_hbm.at[:, pl.ds((chunk0 + chunk_idx) * K, K)],
             scratch.at[slot], sems.at[slot])
 
     def dma_tile0(tile):
         # chunk 0 of another tile — the cross-program prefetch handoff.
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(start_ref[tile], K)],
+            rows_hbm.at[:, pl.ds(chunk0_ref[tile] * K, K)],
             scratch.at[0], sems.at[0])
 
     # Cross-program DMA pipelining: every NON-EMPTY tile's chunk-0 copy is
@@ -226,7 +230,8 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
         dma(slot, i).wait()
         chunk = scratch[slot]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        valid = (i * K + lanes) < count
+        pos = i * K + lanes
+        valid = (pos >= off) & (pos < off + count)
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
         # rgb + expected-depth accumulation in one (4,K) x (NPIX,K)^T matmul
         acc = acc + jax.lax.dot_general(
@@ -265,18 +270,23 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(tiles_x: int, max_chunks: int,
-                start_ref, count_ref, nxt_ref, rows_hbm, g_color_ref,
-                g_t_ref, c_total_ref, t_final_ref,
+                chunk0_ref, off_ref, count_ref, nxt_ref, ocs_ref, rows_hbm,
+                g_color_ref, g_t_ref, c_total_ref, t_final_ref,
                 drows_hbm, scratch, dscratch, sems, dsems):
     t = pl.program_id(0)
-    # Unaligned starts (binning v3). Spill lanes of the last window overlap
-    # the NEXT tile's head slots; their gradient rows are include-masked to
-    # exact zeros here, and the next tile's program rewrites them with the
-    # real values — ordering is guaranteed because every program drains its
-    # output DMAs before finishing and the grid is a sequential loop.
-    start = start_ref[t]
+    # Input windows: aligned-down chunks with `off` head lanes masked (see
+    # _fwd_kernel). Output windows go to this tile's PRIVATE chunk-aligned
+    # region of the padded gradient buffer, starting at chunk `ocs[t]`
+    # (host-computed exclusive cumsum of per-tile window counts) — regions
+    # are disjoint, so no program ever overwrites another tile's gradients.
+    # Masked lanes are written as exact zeros; the consumer maps slot s of
+    # tile t to padded column (ocs[t] - chunk0[t]) * K + s (render.py).
+    chunk0 = chunk0_ref[t]
+    off = off_ref[t]
     count = count_ref[t]
-    n_chunks = jnp.minimum(pl.cdiv(count, K), max_chunks)
+    ocs = ocs_ref[t]
+    n_chunks = jnp.where(
+        count > 0, jnp.minimum(pl.cdiv(off + count, K), max_chunks), 0)
     px, py = _pixel_coords(tiles_x)
 
     g = g_color_ref[0]          # (NPIX, 4) cotangent of rgb+depth (no bg)
@@ -290,18 +300,19 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 
     def dma_in(slot, chunk_idx):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(start + chunk_idx * K, K)],
+            rows_hbm.at[:, pl.ds((chunk0 + chunk_idx) * K, K)],
             scratch.at[slot], sems.at[slot])
 
     def dma_in_tile0(tile):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(start_ref[tile], K)],
+            rows_hbm.at[:, pl.ds(chunk0_ref[tile] * K, K)],
             scratch.at[0], sems.at[0])
 
     def dma_out(slot, chunk_idx):
         return pltpu.make_async_copy(
             dscratch.at[slot],
-            drows_hbm.at[:, pl.ds(start + chunk_idx * K, K)], dsems.at[slot])
+            drows_hbm.at[:, pl.ds((ocs + chunk_idx) * K, K)],
+            dsems.at[slot])
 
     # Cross-program chunk-0 prefetch handoff (see _fwd_kernel).
     @pl.when((t == 0) & (n_chunks > 0))
@@ -343,7 +354,8 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 
         chunk = scratch[slot]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        valid = (i * K + lanes) < count
+        pos = i * K + lanes
+        valid = (pos >= off) & (pos < off + count)
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
 
         w, include, t_before = f["w"], f["include"], f["t_before"]
@@ -465,12 +477,24 @@ def _next_nonempty(tile_count):
     return jnp.concatenate([suff[1:], jnp.full((1,), T, jnp.int32)])
 
 
+def _window_scalars(tile_start, tile_count):
+    """Host-side per-tile DMA window descriptors: aligned-down base chunk,
+    head-lane offset, and the exclusive cumsum of per-tile window counts
+    (the backward's private output regions)."""
+    chunk0 = tile_start // K
+    off = tile_start % K
+    n_ch = jnp.where(tile_count > 0, -(-(off + tile_count) // K), 0)
+    ocs = jnp.cumsum(n_ch) - n_ch
+    return chunk0, off, ocs.astype(jnp.int32)
+
+
 def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     assert rows.shape[0] == FEATS and m_pad % K == 0
+    chunk0, off, _ = _window_scalars(tile_start, tile_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -492,7 +516,7 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
             jax.ShapeDtypeStruct((num_tiles, NPIX, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(tile_start, tile_count, _next_nonempty(tile_count), rows)
+    )(chunk0, off, tile_count, _next_nonempty(tile_count), rows)
     return color, t_final[:, :, 0]
 
 
@@ -502,13 +526,18 @@ def _composite_core_fwd(rows, tile_start, tile_count, tiles_x, tiles_y):
     return (color, t_final), (rows, tile_start, tile_count, color, t_final)
 
 
-def _composite_core_bwd(tiles_x, tiles_y, res, cts):
-    rows, tile_start, tile_count, color, t_final = res
-    g_color, g_t = cts
+def composite_bwd_padded(rows, tile_start, tile_count, tiles_x, tiles_y,
+                         g_color, g_t, color, t_final):
+    """Backward kernel call. Returns the PADDED gradient buffer
+    (FEATS, padded_chunks * K): tile t's gradient rows live at columns
+    (ocs[t] - chunk0[t]) * K + s for slot s in [start, start+count);
+    every other written lane is exactly zero and unwritten chunks are
+    uninitialized (consumers must index only via padded positions)."""
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
+    chunk0, off, ocs = _window_scalars(tile_start, tile_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                     # rows
@@ -529,22 +558,48 @@ def _composite_core_bwd(tiles_x, tiles_y, res, cts):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    d_rows = pl.pallas_call(
+    c_out = padded_chunks(m_pad, num_tiles)
+    d_pad = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x, m_pad // K),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((FEATS, m_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((FEATS, c_out * K), jnp.float32)],
         interpret=_interpret(),
-    )(tile_start, tile_count, _next_nonempty(tile_count), rows,
+    )(chunk0, off, tile_count, _next_nonempty(tile_count), ocs, rows,
       jnp.transpose(g_color, (0, 2, 1)), g_t[:, :, None],
       jnp.transpose(color, (0, 2, 1)), t_final[:, :, None])[0]
+    return d_pad
 
-    # Slots past the last tile's final DMA window are never written by any
-    # kernel program and hold uninitialized memory — mask them out. (Spill
-    # lanes inside windows ARE written, with exact zeros via the include
-    # mask, and inter-tile spill is rewritten by the owning tile's program.)
-    n_aligned = jnp.max(tile_start + (-(-tile_count // K)) * K)
-    slot_ids = jnp.arange(m_pad, dtype=jnp.int32)
-    d_rows = jnp.where(slot_ids[None, :] < n_aligned, d_rows, 0.0)
+
+def padded_slot_positions(tile_start, tile_count, m_pad: int,
+                          num_tiles: int) -> jnp.ndarray:
+    """(m_pad,) int32: padded-buffer column of each instance slot, derived
+    from the tile ranges alone (slot -> owning tile via searchsorted).
+    Invalid slots (>= total) map one past the buffer — gather with
+    mode='fill'."""
+    chunk0, _, ocs = _window_scalars(tile_start, tile_count)
+    slots = jnp.arange(m_pad, dtype=jnp.int32)
+    tid = jnp.clip(
+        jnp.searchsorted(tile_start, slots, side="right").astype(jnp.int32)
+        - 1, 0, num_tiles - 1)
+    base = (ocs - chunk0) * K
+    total = tile_start[num_tiles - 1] + tile_count[num_tiles - 1]
+    c_out = padded_chunks(m_pad, num_tiles)
+    return jnp.where(slots < total, jnp.take(base, tid) + slots, c_out * K)
+
+
+def _composite_core_bwd(tiles_x, tiles_y, res, cts):
+    rows, tile_start, tile_count, color, t_final = res
+    g_color, g_t = cts
+    num_tiles = tiles_x * tiles_y
+    m_pad = rows.shape[1]
+    d_pad = composite_bwd_padded(rows, tile_start, tile_count,
+                                 tiles_x, tiles_y, g_color, g_t,
+                                 color, t_final)
+    # Un-pad back to the rows layout (one extra (FEATS, m) gather; the
+    # fused render path skips this by reducing straight from the padded
+    # buffer — see render.py).
+    pos = padded_slot_positions(tile_start, tile_count, m_pad, num_tiles)
+    d_rows = jnp.take(d_pad, pos, axis=1, mode="fill", fill_value=0.0)
     return d_rows, None, None
 
 

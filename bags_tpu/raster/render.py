@@ -33,6 +33,7 @@ gradients via a zeros `screenspace_points` input with retain_grad
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -182,6 +183,105 @@ def gather_rows(table: jnp.ndarray, abs_probe, bins: TileBins) -> jnp.ndarray:
     return _gather_rows_abs(table, abs_probe, bins)
 
 
+# ---------------------------------------------------------------------------
+# Fused gather + Pallas composite (one custom VJP)
+#
+# The Pallas backward emits gradients in a PADDED per-tile-aligned layout
+# (composite_bwd_padded); fusing the instance gather and the composite into
+# one VJP lets the per-Gaussian segment reduction gather straight from that
+# padded buffer (via bins.order2p) instead of first un-padding it back to
+# the rows layout — one full (FEATS, M) gather saved per backward.
+# ---------------------------------------------------------------------------
+
+
+def _fused_fwd_impl(table, bins, tiles_x, tiles_y):
+    from .pallas_raster import _composite_fwd_call
+
+    rows = _take_rows(table, bins)
+    color, t_final = _composite_fwd_call(
+        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y)
+    return color, t_final, rows
+
+
+def _fused_bwd_impl(bins, tiles_x, tiles_y, rows, color, t_final, cts,
+                    with_abs: bool):
+    from .pallas_raster import composite_bwd_padded
+
+    g_color, g_t = cts
+    d_pad = composite_bwd_padded(
+        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y,
+        g_color, g_t, color, t_final)
+    grouped = jnp.take(d_pad[:F_ACTIVE], bins.order2p, axis=1,
+                       mode="fill", fill_value=0.0)
+    if with_abs:
+        grouped = jnp.concatenate(
+            [grouped, jnp.abs(grouped[0:2])], axis=0)      # (12, M)
+    by_rank = segment_sum_sorted(grouped, bins.seg_cum, bins.seg_len)
+    by_gauss = jnp.take(by_rank, bins.rank_of, axis=1)
+    d_table = jnp.pad(by_gauss[:F_ACTIVE],
+                      ((0, FEATS - F_ACTIVE), (0, 1)))
+    d_absp = (jnp.transpose(by_gauss[F_ACTIVE:F_ACTIVE + 2])
+              if with_abs else None)
+    zeros_bins = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, dtype=jax.dtypes.float0), bins)
+    return d_table, d_absp, zeros_bins
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_composite_plain(table, bins, tiles_x, tiles_y):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+    return color, t_final
+
+
+def _fused_plain_fwd(table, bins, tiles_x, tiles_y):
+    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+    return (color, t_final), (bins, rows, color, t_final)
+
+
+def _fused_plain_bwd(tiles_x, tiles_y, res, cts):
+    bins, rows, color, t_final = res
+    d_table, _, zeros_bins = _fused_bwd_impl(
+        bins, tiles_x, tiles_y, rows, color, t_final, cts, with_abs=False)
+    return d_table, zeros_bins
+
+
+_fused_composite_plain.defvjp(_fused_plain_fwd, _fused_plain_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_composite_abs(table, abs_probe, bins, tiles_x, tiles_y):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+    return color, t_final
+
+
+def _fused_abs_fwd(table, abs_probe, bins, tiles_x, tiles_y):
+    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+    return (color, t_final), (bins, rows, color, t_final)
+
+
+def _fused_abs_bwd(tiles_x, tiles_y, res, cts):
+    bins, rows, color, t_final = res
+    d_table, d_absp, zeros_bins = _fused_bwd_impl(
+        bins, tiles_x, tiles_y, rows, color, t_final, cts, with_abs=True)
+    return d_table, d_absp, zeros_bins
+
+
+_fused_composite_abs.defvjp(_fused_abs_fwd, _fused_abs_bwd)
+
+
+def fused_composite_pallas(table, abs_probe, bins: TileBins,
+                           tiles_x: int, tiles_y: int, bg) -> tiles.TileImage:
+    """Gather + Pallas composite under ONE custom VJP (see block comment)."""
+    if abs_probe is None:
+        out, t_final = _fused_composite_plain(table, bins, tiles_x, tiles_y)
+    else:
+        out, t_final = _fused_composite_abs(table, abs_probe, bins,
+                                            tiles_x, tiles_y)
+    out = jnp.transpose(out, (0, 2, 1))                # (T, NPIX, 4)
+    color = out[..., :3] + t_final[..., None] * bg[None, None, :]
+    return tiles.TileImage(color=color, t_final=t_final, depth=out[..., 3])
+
+
 def render(
     xyz: jnp.ndarray,
     scales: jnp.ndarray,
@@ -232,15 +332,14 @@ def render(
                         if sort_key is not None else None))
 
     table = build_packet_table(proj, x2d, y2d)
-    # abs_probe None (eval/bench) selects the 10-row backward reduction.
-    rows = gather_rows(table, abs_probe, bins)   # (FEATS, M + CHUNK)
-
     backend = _composite_backend(cfg)
     if backend == "pallas":
-        from .pallas_raster import composite_tiles_pallas
-        tile_img = composite_tiles_pallas(
-            rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y, bg)
+        # Fused gather + composite: one custom VJP, padded-layout backward
+        # (abs_probe None — eval/bench — selects the 10-row reduction).
+        tile_img = fused_composite_pallas(table, abs_probe, bins,
+                                          tiles_x, tiles_y, bg)
     else:
+        rows = gather_rows(table, abs_probe, bins)   # (FEATS, M + CHUNK)
         tile_img = tiles.composite_tiles_jnp(
             jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),
             jnp.transpose(rows[6:9]), rows[5],
