@@ -163,13 +163,24 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     slots = jnp.arange(m, dtype=jnp.int32)
     head_pos = jnp.where(seg_len > 0, offsets, m)  # OOB drops
     g_rank = _fill_forward_heads(head_pos, iota_n, m)
-    local = slots - jnp.take(offsets, g_rank)
+    # Segment start per slot via a second head-scatter + cummax (head_pos is
+    # its own head value, non-decreasing) — replaces a random (m,) gather of
+    # `offsets[g_rank]`, which costs ~8 ms at 2^20 on v5e.
+    offs_slot = _fill_forward_heads(head_pos, head_pos, m)
+    local = slots - offs_slot
     pg = jnp.take(rect_r, g_rank)
     gx0 = (pg >> 21).astype(jnp.int32)
     gy0 = ((pg >> 10) & 0x7FF).astype(jnp.int32)
     gnx = (pg & 0x3FF).astype(jnp.int32)
-    tx = gx0 + local % gnx
-    ty = gy0 + local // gnx
+    # local // gnx and local % gnx in f32: integer div lowers to a slow
+    # multi-op VPU sequence (~8 ms/2^20); both operands are tiny (local <
+    # num_tiles <= 2^22, gnx <= 1023), so floor((local + 0.5) / gnx) is
+    # exact — the +0.5 keeps the true quotient boundary at least
+    # 0.5/gnx > 4x f32 rounding error away.
+    q = jnp.floor((local.astype(jnp.float32) + 0.5)
+                  / gnx.astype(jnp.float32)).astype(jnp.int32)
+    tx = gx0 + local - q * gnx
+    ty = gy0 + q
     valid = slots < total
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
     rank = jnp.where(valid, g_rank, n)
@@ -213,16 +224,17 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     n_ch = jnp.where(tile_count > 0, -(-(off_t + tile_count) // CHUNK), 0)
     ocs = jnp.cumsum(n_ch) - n_ch
     base = (ocs - chunk0) * CHUNK                      # (T,)
-    if packed_key:
-        tid_sorted = (tile_keys[:m] >> 20).astype(jnp.int32)
-    else:
-        tid_sorted = tile_keys[:m].astype(jnp.int32)
+    # base[t] is non-decreasing in t (n_ch[t] >= chunk0[t+1] - chunk0[t]),
+    # so base-per-slot comes from a (T,)-sized scatter at tile_start + one
+    # cummax fill-forward instead of a (m,) gather keyed by the slot's tile
+    # id (~7 ms at 2^20 on v5e). Co-located tile starts (empty tiles) take
+    # the max = the owning tile's base.
     c_out = padded_chunks(m + CHUNK, num_tiles)
     slots_m = jnp.arange(m, dtype=jnp.int32)
-    padded_pos = jnp.where(
-        tid_sorted < num_tiles,
-        jnp.take(base, jnp.minimum(tid_sorted, num_tiles - 1)) + slots_m,
-        c_out * CHUNK)
+    base_slot = _fill_forward_heads(
+        jnp.minimum(tile_start, m), base.astype(jnp.int32), m)
+    padded_pos = jnp.where(slots_m < jnp.minimum(total, m),
+                           base_slot + slots_m, c_out * CHUNK)
     _, order2, order2p = jax.lax.sort(
         (rank_sorted[:m], slots_m, padded_pos), num_keys=1)
 

@@ -1,0 +1,136 @@
+"""Cumulative bisect of bin_gaussians: time progressively longer prefixes
+of the real pipeline (same inputs, same fusion context) so the difference
+between consecutive stages is that stage's true marginal cost."""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from bags_tpu.utils.cache import enable_persistent_cache
+from tools.stagebench import timed_chain
+
+
+def main():
+    enable_persistent_cache()
+
+    from bags_tpu.core.projection import project_gaussians
+    from bags_tpu.raster import binning
+    from bags_tpu.raster.binning import (CHUNK, compute_tile_rects,
+                                         _fill_forward_heads, padded_chunks)
+    from bags_tpu.utils.testing import make_toy_scene
+
+    n, wh, mi = 100_000, 800, 2 ** 20
+    sc = make_toy_scene(n=n, width=wh, height=wh, sh_degree=3, seed=0,
+                        scale_range=(0.008, 0.035))
+    a = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+         sc["sh_coeffs"], sc["cam"])
+    tiles_x, tiles_y = binning.tile_grid(wh, wh)
+    proj = jax.jit(lambda *x: project_gaussians(*x, sc["static"], 3))(*a)
+
+    num_tiles = tiles_x * tiles_y
+    m = mi
+
+    def stages(proj_x2d, upto):
+        """Re-create bin_gaussians up to stage `upto`; returns live outputs."""
+        x2d = proj_x2d
+        y2d = proj.y2d
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        x0, y0, nx, ntiles = compute_tile_rects(
+            x2d, y2d, proj.radius, tiles_x, tiles_y)
+        if upto == 0:
+            return (ntiles,)
+        dkey = jnp.where(ntiles > 0, proj.depth, jnp.inf)
+        _, depth_order = jax.lax.sort((dkey, iota_n), num_keys=1)
+        rank_of = jnp.zeros((n,), jnp.int32).at[depth_order].set(iota_n)
+        if upto == 1:
+            return depth_order, rank_of
+        ntiles_r = jnp.take(ntiles, depth_order)
+        rect_pack = ((x0.astype(jnp.uint32) << 21)
+                     | (y0.astype(jnp.uint32) << 10)
+                     | jnp.clip(nx, 1, 1023).astype(jnp.uint32))
+        rect_r = jnp.take(rect_pack, depth_order)
+        cum_all = jnp.cumsum(ntiles_r)
+        n_dropped = jnp.maximum(cum_all[-1] - m, 0)
+        kept = cum_all <= m
+        seg_len = jnp.where(kept, ntiles_r, 0)
+        seg_cum = jnp.cumsum(seg_len)
+        offsets = seg_cum - seg_len
+        total = seg_cum[-1]
+        if upto == 2:
+            return rect_r, offsets, total, n_dropped
+        slots = jnp.arange(m, dtype=jnp.int32)
+        head_pos = jnp.where(seg_len > 0, offsets, m)
+        g_rank = _fill_forward_heads(head_pos, iota_n, m)
+        if upto == 3:
+            return (g_rank,)
+        local = slots - jnp.take(offsets, g_rank)
+        pg = jnp.take(rect_r, g_rank)
+        gx0 = (pg >> 21).astype(jnp.int32)
+        gy0 = ((pg >> 10) & 0x7FF).astype(jnp.int32)
+        gnx = (pg & 0x3FF).astype(jnp.int32)
+        tx = gx0 + local % gnx
+        ty = gy0 + local // gnx
+        valid = slots < total
+        tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+        rank = jnp.where(valid, g_rank, n)
+        if upto == 4:
+            return tile_id, rank
+        packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
+        packed = jax.lax.sort(packed)
+        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+        if upto == 5:
+            return (rank_sorted,)
+        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20
+        tbounds = jnp.searchsorted(packed, bound_q,
+                                   side="left").astype(jnp.int32)
+        tile_start = tbounds[:num_tiles]
+        tile_count = tbounds[1:] - tbounds[:num_tiles]
+        if upto == 6:
+            return rank_sorted, tile_start, tile_count
+        chunk0 = tile_start // CHUNK
+        off_t = tile_start % CHUNK
+        n_ch = jnp.where(tile_count > 0, -(-(off_t + tile_count) // CHUNK), 0)
+        ocs = jnp.cumsum(n_ch) - n_ch
+        base = (ocs - chunk0) * CHUNK
+        tid_sorted = (packed >> 20).astype(jnp.int32)
+        c_out = padded_chunks(m + CHUNK, num_tiles)
+        slots_m = slots
+        padded_pos = jnp.where(
+            tid_sorted < num_tiles,
+            jnp.take(base, jnp.minimum(tid_sorted, num_tiles - 1)) + slots_m,
+            c_out * CHUNK)
+        if upto == 7:
+            return rank_sorted, tile_start, tile_count, padded_pos
+        _, order2, order2p = jax.lax.sort(
+            (rank_sorted, slots_m, padded_pos), num_keys=1)
+        if upto == 8:
+            return order2, order2p, rank_sorted, tile_start, tile_count
+        raise ValueError(upto)
+
+    names = ["rects", "+depth sort & rank_of", "+capacity cumsums",
+             "+fill-forward", "+slot arith/tile_id", "+packed sort",
+             "+searchsorted ranges", "+padded_pos", "+order2 3-op sort"]
+    prev = 0.0
+    for i, name in enumerate(names):
+        def f(eps, i=i):
+            return stages(proj.x2d + eps, i)
+        t = timed_chain(f, None) * 1e3
+        print(f"{i}: {name:26s}: {t:7.2f} ms  (marginal {t - prev:+6.2f})")
+        prev = t
+
+    def f_full(eps):
+        pr = dataclasses.replace(proj, x2d=proj.x2d + eps)
+        b = binning.bin_gaussians(pr, tiles_x, tiles_y, mi)
+        return (b.rank_sorted, b.tile_start, b.tile_count, b.rank_of,
+                b.order2, b.order2p, b.seg_cum, b.seg_len)
+    print(f"real bin_gaussians (all)      : {timed_chain(f_full, None)*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
