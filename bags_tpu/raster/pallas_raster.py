@@ -67,18 +67,37 @@ def _interpret() -> bool:
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 
+def _split3(x: jnp.ndarray):
+    """Exact 3-term bf16 decomposition of f32: x == x0 + x1 + x2 to within
+    2^-25 relative (3 x 8 mantissa bits cover f32's 24). Each residual
+    subtraction is exact in f32 (the leading bits cancel exactly)."""
+    x0 = x.astype(jnp.bfloat16)
+    r1 = x - x0.astype(jnp.float32)
+    x1 = r1.astype(jnp.bfloat16)
+    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
 def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
-    """Prefix sum along axis 1 (lanes) of (NPIX, K) as ONE triangular
-    (NPIX, K) x (K, K) matmul on the MXU (f32 HIGHEST — exact-f32 passes),
-    freeing the VPU (the kernel's bottleneck) of the 21-op Hillis-Steele
-    shift-add scan. Mosaic has no cumsum lowering."""
+    """Prefix sum along axis 1 (lanes) of (NPIX, K) as triangular
+    (NPIX, K) x (K, K) matmuls on the MXU, freeing the VPU (the kernel's
+    bottleneck) of the 21-op Hillis-Steele shift-add scan. Mosaic has no
+    cumsum lowering.
+
+    Precision: the triangular matrix is 0/1 (exact in bf16), so splitting
+    only the data operand into three bf16 terms gives f32-exact products in
+    THREE one-pass bf16 matmuls — half the MXU passes of a HIGHEST f32
+    matmul (6), with the same f32 accumulation."""
     r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    tri = ((r < c) if exclusive else (r <= c)).astype(jnp.float32)
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_MM_PREC)
+    tri = ((r < c) if exclusive else (r <= c)).astype(jnp.bfloat16)
+    out = None
+    for part in _split3(x):
+        term = jax.lax.dot_general(
+            part, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+    return out
 
 
 def _lane_sum(x: jnp.ndarray) -> jnp.ndarray:
@@ -136,9 +155,14 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
     include = ok & jnp.logical_not(kill) & (done < 0.5)
 
     w = jnp.where(include, a * t_before, 0.0)       # (NPIX, K)
-    log_sum_inc = _lane_sum(jnp.where(include, log_om, 0.0))
+    # One (2*NPIX, K) x (K, 1) matvec for both lane reductions (included
+    # log-transmittance sum and kill count) — halves the reduction
+    # dispatches per chunk.
+    both = _lane_sum(jnp.concatenate(
+        [jnp.where(include, log_om, 0.0), kill.astype(jnp.float32)], axis=0))
+    log_sum_inc = both[:NPIX]
+    n_kill = both[NPIX:]
     t_run_new = t_run * jnp.exp(log_sum_inc)
-    n_kill = _lane_sum(kill.astype(jnp.float32))
     done_new = jnp.maximum(done, (n_kill > 0.0).astype(jnp.float32))
     return dict(dx=dx, dy=dy, expp=expp, a=a, w=w,
                 t_before=t_before, include=include,
@@ -329,6 +353,16 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 
     g_t_tfin = g_t * t_final        # (NPIX, 1) hoisted
 
+    # Constant reduction selector for the fused per-instance pixel sums
+    # (see the loop body): row r carries coefficient c_r on sublane block r
+    # of the stacked (6*NPIX, K) integrand. Entries {1, -0.5, -1} are
+    # bf16-exact. Built once per program, hoisted out of the chunk loop.
+    blk = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * NPIX), 1) // NPIX
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * NPIX), 0)
+    coef = jnp.where((rowi == 1) | (rowi == 3), -0.5,
+                     jnp.where(rowi == 2, -1.0, 1.0))
+    red_sel = jnp.where(rowi == blk, coef, 0.0).astype(jnp.bfloat16)
+
     # Early termination mirrors the forward: once every pixel is saturated
     # the remaining chunks contribute exactly zero gradient, so the compute
     # loop stops and a cheap second loop zero-fills their output slabs
@@ -384,15 +418,27 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         dx, dy = f["dx"], f["dy"]
         px_ = dx * d_power
         py_ = dy * d_power
-        # All six per-instance reductions ride the MXU (ones vecmats); the
-        # mean2d grads use d_mx = sum((ca dx + cb dy) d_power) = ca S_x +
-        # cb S_y so d_dx/d_dy are never materialized.
-        d_o = _pix_sum(d_aG * G)                               # (1, K)
-        d_ca = -0.5 * _pix_sum(px_ * dx)
-        d_cb = -_pix_sum(px_ * dy)
-        d_cc = -0.5 * _pix_sum(py_ * dy)
-        s_x = _pix_sum(px_)
-        s_y = _pix_sum(py_)
+        # All six per-instance pixel reductions ride ONE MXU matmul: stack
+        # the six (NPIX, K) integrands on sublanes and contract with a
+        # constant (8, 6*NPIX) selector whose entries {1, -0.5, -1} are
+        # bf16-exact, so three one-pass bf16 matmuls of the split data are
+        # f32-exact — one dispatch chain instead of six matvecs. The mean2d
+        # grads use d_mx = sum((ca dx + cb dy) d_power) = ca S_x + cb S_y
+        # so d_dx/d_dy are never materialized.
+        x6 = jnp.concatenate(
+            [d_aG * G, px_ * dx, px_ * dy, py_ * dy, px_, py_], axis=0)
+        red = None
+        for part in _split3(x6):
+            term = jax.lax.dot_general(
+                red_sel, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            red = term if red is None else red + term           # (8, K)
+        d_o = red[0:1]
+        d_ca = red[1:2]
+        d_cb = red[2:3]
+        d_cc = red[3:4]
+        s_x = red[4:5]
+        s_y = red[5:6]
         ca = chunk[R_CA:R_CA + 1, :]
         cb = chunk[R_CB:R_CB + 1, :]
         cc = chunk[R_CC:R_CC + 1, :]
