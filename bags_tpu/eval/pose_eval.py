@@ -38,12 +38,16 @@ def procrustes_analysis(X0: np.ndarray, X1: np.ndarray) -> Sim3:
     """
     diff = X0 - X1
     keep = ~(diff > 1).any(axis=1)
-    X0, X1 = X0[keep], X1[keep]
+    if keep.sum() >= 3:  # the outlier filter must leave a solvable system
+        X0, X1 = X0[keep], X1[keep]
     t0 = X0.mean(axis=0)
     t1 = X1.mean(axis=0)
     X0c, X1c = X0 - t0, X1 - t1
-    s0 = np.sqrt((X0c ** 2).sum(-1).mean())
-    s1 = np.sqrt((X1c ** 2).sum(-1).mean())
+    # Degenerate clusters (all cameras at ~one point) give s ~ 0; clamp so
+    # the alignment degrades to rigid instead of emitting divide warnings.
+    eps = 1e-12
+    s0 = max(float(np.sqrt((X0c ** 2).sum(-1).mean())), eps)
+    s1 = max(float(np.sqrt((X1c ** 2).sum(-1).mean())), eps)
     U, _, Vt = np.linalg.svd((X0c / s0).T.astype(np.float64)
                              @ (X1c / s1).astype(np.float64))
     R = (U @ Vt).astype(np.float32)

@@ -70,7 +70,11 @@ _MM_PREC = jax.lax.Precision.HIGHEST
 def _split3(x: jnp.ndarray):
     """Exact 3-term bf16 decomposition of f32: x == x0 + x1 + x2 to within
     2^-25 relative (3 x 8 mantissa bits cover f32's 24). Each residual
-    subtraction is exact in f32 (the leading bits cancel exactly)."""
+    subtraction is exact in f32 (the leading bits cancel exactly).
+
+    Precondition: |x| < bf16 max normal (~3.39e38) — larger f32 values round
+    to inf in the first cast, making r1 = x - inf = NaN. All callers here
+    feed bounded integrands (prefix-sum operands in [0, 1])."""
     x0 = x.astype(jnp.bfloat16)
     r1 = x - x0.astype(jnp.float32)
     x1 = r1.astype(jnp.bfloat16)

@@ -191,6 +191,28 @@ def test_train_cli_mesh_checkpoint_resume(tmp_path):
     assert os.path.exists(os.path.join(out, "chkpnt6.npz"))
 
 
+def test_train_cli_mesh_rejects_calibrated_modes(tmp_path):
+    """--mesh + fisheye/cubemap must hard-error, not silently train an
+    uncalibrated model (train.py mesh dispatch guard)."""
+    import numpy as np
+    import pytest
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=4, n_pts=50,
+                        rng=np.random.default_rng(5))
+    common = ["-s", root, "-m", out, "--sh_degree", "0", "--backend", "jnp",
+              "--max_instances", "4096", "--cap_max", "128", "--mesh", "2",
+              "--iterations", "2", "--quiet", "--test_iterations", "-1",
+              "--save_iterations", "-1", "--checkpoint_iterations", "-1"]
+    with pytest.raises(NotImplementedError, match="fisheye"):
+        train_cli.main(common + ["--outside_rasterizer"])
+    with pytest.raises(NotImplementedError, match="cubemap"):
+        train_cli.main(common + ["--cubemap"])
+
+
 def test_trajectory_cli_panorama(tmp_path):
     """--panorama_fov renders 5 cubemap faces per pose and resamples them
     into a wide-FoV perspective frame (render_mitsuba flow)."""

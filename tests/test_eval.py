@@ -63,6 +63,35 @@ def test_pose_error_detects_perturbation(rng):
     assert err["rotation_deg_mean"] > 0.1
 
 
+def test_pose_error_degenerate_no_warnings(rng):
+    """Cameras at (numerically) one point: Procrustes must not emit divide
+    warnings (eval/pose_eval.py scale clamp) and must return finite errors."""
+    import warnings
+
+    n = 6
+    q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    t = np.zeros((n, 3), np.float32) + rng.normal(0, 1e-12, (n, 3)).astype(
+        np.float32)
+    cams = CameraParams(q_init=jnp.asarray(q), t_init=jnp.asarray(t),
+                        dq=jnp.zeros((n, 4)), dt=jnp.zeros((n, 3)),
+                        fovx=jnp.full((n,), 0.8), fovy=jnp.full((n,), 0.8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        _, err = align_and_pose_error(cams, cams)
+    assert np.isfinite(err["rotation_deg_mean"])
+    assert np.isfinite(err["translation_mean"])
+
+
+def test_procrustes_outlier_filter_keeps_solvable_system(rng):
+    """If the (X0-X1 > 1) outlier filter would drop nearly everything, the
+    full set is used instead of producing an empty-mean warning."""
+    X0 = rng.normal(size=(8, 3)).astype(np.float32)
+    X1 = X0 - 5.0  # every diff > 1 -> reference filter would drop all rows
+    sim3 = procrustes_analysis(X0, X1)
+    X1to0 = (X1 - sim3.t1) / sim3.s1 @ sim3.R.T * sim3.s0 + sim3.t0
+    np.testing.assert_allclose(X1to0, X0, atol=1e-3)
+
+
 def test_ssim_matches_torch_reference(rng):
     """Pin SSIM against a torch re-implementation of the reference's
     loss_utils.py:36-76 (gaussian window, depthwise conv, same padding)."""

@@ -69,13 +69,16 @@ def main():
         g_rank = _fill_forward_heads(head_pos, iota_n, m)
         if upto == 3:
             return (g_rank,)
-        local = slots - jnp.take(offsets, g_rank)
+        offs_slot = _fill_forward_heads(head_pos, head_pos, m)
+        local = slots - offs_slot
         pg = jnp.take(rect_r, g_rank)
         gx0 = (pg >> 21).astype(jnp.int32)
         gy0 = ((pg >> 10) & 0x7FF).astype(jnp.int32)
         gnx = (pg & 0x3FF).astype(jnp.int32)
-        tx = gx0 + local % gnx
-        ty = gy0 + local // gnx
+        q = jnp.floor((local.astype(jnp.float32) + 0.5)
+                      / gnx.astype(jnp.float32)).astype(jnp.int32)
+        tx = gx0 + local - q * gnx
+        ty = gy0 + q
         valid = slots < total
         tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
         rank = jnp.where(valid, g_rank, n)
@@ -98,13 +101,12 @@ def main():
         n_ch = jnp.where(tile_count > 0, -(-(off_t + tile_count) // CHUNK), 0)
         ocs = jnp.cumsum(n_ch) - n_ch
         base = (ocs - chunk0) * CHUNK
-        tid_sorted = (packed >> 20).astype(jnp.int32)
         c_out = padded_chunks(m + CHUNK, num_tiles)
         slots_m = slots
-        padded_pos = jnp.where(
-            tid_sorted < num_tiles,
-            jnp.take(base, jnp.minimum(tid_sorted, num_tiles - 1)) + slots_m,
-            c_out * CHUNK)
+        base_slot = _fill_forward_heads(
+            jnp.minimum(tile_start, m), base.astype(jnp.int32), m)
+        padded_pos = jnp.where(slots_m < jnp.minimum(total, m),
+                               base_slot + slots_m, c_out * CHUNK)
         if upto == 7:
             return rank_sorted, tile_start, tile_count, padded_pos
         _, order2, order2p = jax.lax.sort(

@@ -19,7 +19,7 @@ def main():
 
     from bags_tpu.core.projection import project_gaussians
     from bags_tpu.raster import binning
-    from bags_tpu.raster.render import FEATS, build_packet_table, _take_rows
+    from bags_tpu.raster.render import build_packet_table, _take_rows
     from bags_tpu.raster.pallas_raster import (_composite_fwd_call,
                                                composite_bwd_padded)
     from bags_tpu.utils.testing import make_toy_scene

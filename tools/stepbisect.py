@@ -21,7 +21,7 @@ def main():
 
     from bags_tpu.core.projection import project_gaussians
     from bags_tpu.raster import RenderConfig, binning, render, tiles
-    from bags_tpu.raster.render import (FEATS, build_packet_table,
+    from bags_tpu.raster.render import (build_packet_table,
                                         fused_composite_pallas)
     from bags_tpu.train.losses import photometric_loss
     from bags_tpu.utils.testing import make_toy_scene
