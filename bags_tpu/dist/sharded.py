@@ -37,11 +37,64 @@ from ..model.gaussians import Gaussians
 from ..raster import RenderConfig
 from ..raster import binning, tiles
 from ..raster.render import FEATS, F_ACTIVE, gather_rows
-from ..train.losses import photometric_loss
+from ..train.losses import _blur, _gaussian_window
+
+
+def _halo_slab_loss(pred, gt, axis, y0_px, true_height, lambda_dssim):
+    """Photometric loss computed SLAB-LOCALLY with a 5-pixel halo exchange.
+
+    The SSIM window only needs window//2 = 5 rows of context, so instead of
+    all-gathering the full image + GT to every device (O(H*W) ICI bytes per
+    device per step, D-times redundant SSIM compute), each device exchanges
+    5-row halos with its two slab neighbors (two ppermutes of (6, 5, W) ~
+    O(W) bytes) and psums three scalars. Identical math to
+    `photometric_loss(full_img[:true_height], full_gt[:true_height])`: rows
+    past the true image height are zeroed (matching the sliced image's zero
+    'SAME' padding), boundary devices receive zero halos from ppermute
+    (matching the global zero padding), and only valid-row pixels enter the
+    sums. Summation order differs (per-slab partials), so parity vs the
+    replicated loss is exact to f32 reduction order.
+    """
+    d = jax.lax.axis_size(axis)
+    h_local, width = pred.shape[1], pred.shape[2]
+    halo = 5  # window_size // 2
+    rows = y0_px + jax.lax.broadcasted_iota(jnp.float32, (h_local, 1), 0)
+    valid = rows[None, :, :] < true_height            # (1, Hl, 1)
+    pred = jnp.where(valid, pred, 0.0)
+    gt = jnp.where(valid, gt, 0.0)
+
+    both = jnp.concatenate([pred, gt], axis=0)        # (6, Hl, W)
+    up = [(i, i + 1) for i in range(d - 1)]           # my bottom -> i+1's top
+    dn = [(i + 1, i) for i in range(d - 1)]           # my top -> i-1's bottom
+    top_halo = jax.lax.ppermute(both[:, -halo:], axis, up)
+    bot_halo = jax.lax.ppermute(both[:, :halo], axis, dn)
+    ext = jnp.concatenate([top_halo, both, bot_halo], axis=1)
+
+    window = jnp.asarray(_gaussian_window(11))
+    p_e, g_e = ext[:3], ext[3:]
+    stacked = jnp.concatenate(
+        [p_e, g_e, p_e * p_e, g_e * g_e, p_e * g_e], axis=0)
+    b = _blur(stacked, window)[:, halo:-halo]         # center Hl rows
+    c = 3
+    mu1, mu2 = b[:c], b[c:2 * c]
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = b[2 * c:3 * c] - mu1_sq
+    sigma2_sq = b[3 * c:4 * c] - mu2_sq
+    sigma12 = b[4 * c:5 * c] - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / \
+        ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    ssim_sum = jnp.sum(jnp.where(valid, ssim_map, 0.0))
+    l1_sum = jnp.sum(jnp.abs(pred - gt))              # padded rows are 0-0
+    denom = 3.0 * true_height * width
+    l1 = jax.lax.psum(l1_sum, axis) / denom
+    ssim_mean = jax.lax.psum(ssim_sum, axis) / denom
+    return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_mean)
 
 
 def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
-                        lambda_dssim: float = 0.2, hybrid: bool = False):
+                        lambda_dssim: float = 0.2, hybrid: bool = False,
+                        return_image: bool = True):
     """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, spec, gt,
     bg) -> (loss, aux), differentiable, executing tile-parallel over `mesh`.
 
@@ -123,17 +176,21 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         slab = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y_local,
                                     static.width, tiles_y_local * binning.TILE)
 
-        # 5. replicated loss over the gathered image
-        full_img = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
-        full_img = full_img[:, :true_height, :]
-        full_gt = jax.lax.all_gather(gt_slab, axis, axis=1, tiled=True)
-        full_gt = full_gt[:, :true_height, :]
-        loss = photometric_loss(full_img, full_gt, lambda_dssim)
+        # 5. slab-local loss with 5-px halo exchange + scalar psums — the
+        # post-composite collective is O(W) per device instead of the old
+        # O(H*W) full-image all-gather (VERDICT r2: sharded-loss comm).
+        loss = _halo_slab_loss(slab, gt_slab, axis, y0_px, true_height,
+                               lambda_dssim)
 
         # full.radius is identical on every device (all-gathered), so the
         # visibility/radii stats replicate for free.
-        aux = dict(image=full_img, radii=full.radius,
+        aux = dict(radii=full.radius,
                    n_dropped=jax.lax.psum(bins.n_dropped, axis))
+        if return_image:
+            # eval/GUI convenience only — the train step runs with
+            # return_image=False so no full-image collective exists at all.
+            full_img = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
+            aux["image"] = full_img[:, :true_height, :]
         return loss, aux
 
     in_specs = (
@@ -146,7 +203,10 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
         P(None, axis, None),                                   # gt slab
         P(),                                                   # bg
     )
-    out_specs = (P(), dict(image=P(), radii=P(), n_dropped=P()))
+    aux_specs = dict(radii=P(), n_dropped=P())
+    if return_image:
+        aux_specs["image"] = P()
+    out_specs = (P(), aux_specs)
 
     fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
@@ -176,7 +236,7 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
     hybrid = bool(getattr(cfg.calib, "hybrid", False))
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     loss_fn = sharded_render_loss(mesh, static, rcfg, cfg.opt.lambda_dssim,
-                                  hybrid=hybrid)
+                                  hybrid=hybrid, return_image=False)
 
     @jax.jit
     def step(state: TrainState, gt, cam_idx, bg):

@@ -43,9 +43,18 @@ class Lpips:
         weights_path = weights_path or os.environ.get("BAGS_TPU_LPIPS_WEIGHTS")
         self.available = bool(weights_path and os.path.exists(weights_path))
         if self.available:
-            data = np.load(weights_path)
-            self.params = {k: jnp.asarray(v) for k, v in data.items()}
-            self.cfg = [int(k.split("_")[0][4:]) for k in data.files
+            if os.path.isdir(weights_path):
+                # Directory of the two untouched upstream torch files
+                # (torchvision vgg16*.pth + LPIPS v0.1 vgg.pth), parsed
+                # without torch — see eval/lpips_weights.py.
+                from .lpips_weights import load_official_dir
+                data = load_official_dir(weights_path)
+                names = list(data)
+            else:
+                data = np.load(weights_path)
+                names = list(data.files)
+            self.params = {k: jnp.asarray(data[k]) for k in names}
+            self.cfg = [int(k.split("_")[0][4:]) for k in names
                         if k.endswith("_w") and k.startswith("conv")]
 
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

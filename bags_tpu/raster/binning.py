@@ -89,16 +89,22 @@ def tile_grid(width: int, height: int) -> tuple[int, int]:
 
 
 def compute_tile_rects(x2d: jnp.ndarray, y2d: jnp.ndarray,
-                       radius: jnp.ndarray, tiles_x: int, tiles_y: int):
-    """Per-Gaussian covered tile rectangle, CUDA `getRect` semantics:
+                       radius_x: jnp.ndarray, radius_y: jnp.ndarray,
+                       tiles_x: int, tiles_y: int):
+    """Per-Gaussian covered tile rectangle, CUDA `getRect` semantics with
+    PER-AXIS extents (the opacity-aware ellipse AABB from projection —
+    exact-parity cull of tiles no pixel of which can pass alpha >= 1/255):
     rect_min = clamp(floor((p - r) / TILE)), rect_max (exclusive) =
-    clamp(ceil((p + r + 1) / TILE)) — clamped to the grid."""
-    r = radius.astype(x2d.dtype)
-    x0 = jnp.clip(jnp.floor((x2d - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y2d - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x2d + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y2d + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-    alive = radius > 0
+    clamp(floor((p + r) / TILE) + 1) — clamped to the grid."""
+    rx = radius_x.astype(x2d.dtype)
+    ry = radius_y.astype(y2d.dtype)
+    x0 = jnp.clip(jnp.floor((x2d - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y2d - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x2d + rx) / TILE) + 1, 0,
+                  tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y2d + ry) / TILE) + 1, 0,
+                  tiles_y).astype(jnp.int32)
+    alive = (radius_x > 0) & (radius_y > 0)
     nx = jnp.where(alive, x1 - x0, 0)
     ny = jnp.where(alive, y1 - y0, 0)
     ntiles = jnp.maximum(nx, 0) * jnp.maximum(ny, 0)
@@ -129,9 +135,11 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     # (a 4k-wide image and Eyeful-scale populations); beyond that, fall back
     # to a stable two-operand sort with the tile id as the key.
     packed_key = num_tiles < 4095 and n < (1 << 20) and not force_wide_keys
-    rect_r_src = (proj.rect_radius if getattr(proj, "rect_radius", None)
-                  is not None else proj.radius)
-    x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, rect_r_src,
+    rx = (proj.rect_rx if getattr(proj, "rect_rx", None) is not None
+          else proj.radius)
+    ry = (proj.rect_ry if getattr(proj, "rect_ry", None) is not None
+          else proj.radius)
+    x0, y0, nx, ntiles = compute_tile_rects(proj.x2d, proj.y2d, rx, ry,
                                             tiles_x, tiles_y)
 
     # --- 1. depth-sort the Gaussians (rank order) --------------------------
@@ -143,12 +151,10 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     rank_of = jnp.zeros((n,), jnp.int32).at[depth_order].set(iota_n)
 
     ntiles_r = jnp.take(ntiles, depth_order)
-    # pack rect as u32 x0:11 | y0:11 | nx:10 so the slot expansion gathers one row
     assert tiles_x < 2048 and tiles_y < 2048, "image wider than 32k px?"
-    rect_pack = ((x0.astype(jnp.uint32) << 21)
-                 | (y0.astype(jnp.uint32) << 10)
-                 | jnp.clip(nx, 1, 1023).astype(jnp.uint32))
-    rect_r = jnp.take(rect_pack, depth_order)
+    nx_r = jnp.clip(jnp.take(nx, depth_order), 1, 1023)
+    x0_r = jnp.take(x0, depth_order)
+    y0_r = jnp.take(y0, depth_order)
 
     # --- capacity: keep the NEAREST Gaussians up to the budget -------------
     cum_all = jnp.cumsum(ntiles_r)
@@ -160,29 +166,61 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     total = seg_cum[-1]
 
     # --- 2. gaussian-major slot expansion ----------------------------------
+    # Per-slot tile ids WITHOUT any (m,)-sized random gather (~8 ms/2^20 on
+    # v5e): everything rides head-scatters + one cummax fill-forward + one
+    # integer cumsum.
+    #   * ONE packed fill-forward (rank:21 | nx:10, 31 bits signed-safe)
+    #     broadcasts both the depth rank and the rect width to slots;
+    #   * tile_id comes from an inclusive cumsum of per-slot DELTAS: +1
+    #     inside a rect row, +(tiles_x - nx + 1) at a row wrap, and at each
+    #     segment head a scattered jump from the previous segment's LAST
+    #     tile to this segment's FIRST tile (both per-Gaussian, N-sized).
     slots = jnp.arange(m, dtype=jnp.int32)
     head_pos = jnp.where(seg_len > 0, offsets, m)  # OOB drops
-    g_rank = _fill_forward_heads(head_pos, iota_n, m)
+    small_rank = n < (1 << 21)
+    if small_rank:
+        packed_rn = (iota_n << 10) | nx_r
+        rn = _fill_forward_heads(head_pos, packed_rn, m)
+        g_rank = rn >> 10
+        nx_slot = rn & 0x3FF
+    else:
+        g_rank = _fill_forward_heads(head_pos, iota_n, m)
+        nx_slot = jnp.take(nx_r, g_rank)
     # Segment start per slot via a second head-scatter + cummax (head_pos is
-    # its own head value, non-decreasing) — replaces a random (m,) gather of
-    # `offsets[g_rank]`, which costs ~8 ms at 2^20 on v5e.
+    # its own head value, non-decreasing).
     offs_slot = _fill_forward_heads(head_pos, head_pos, m)
     local = slots - offs_slot
-    pg = jnp.take(rect_r, g_rank)
-    gx0 = (pg >> 21).astype(jnp.int32)
-    gy0 = ((pg >> 10) & 0x7FF).astype(jnp.int32)
-    gnx = (pg & 0x3FF).astype(jnp.int32)
-    # local // gnx and local % gnx in f32: integer div lowers to a slow
-    # multi-op VPU sequence (~8 ms/2^20); both operands are tiny (local <
-    # num_tiles <= 2^22, gnx <= 1023), so floor((local + 0.5) / gnx) is
-    # exact — the +0.5 keeps the true quotient boundary at least
-    # 0.5/gnx > 4x f32 rounding error away.
+    # local % nx in f32: integer div lowers to a slow multi-op VPU sequence;
+    # both operands are tiny (local < num_tiles * 1024, nx <= 1023), so
+    # floor((local + 0.5) / nx) is exact — the +0.5 keeps the true quotient
+    # boundary at least 0.5/nx > 4x f32 rounding error away.
     q = jnp.floor((local.astype(jnp.float32) + 0.5)
-                  / gnx.astype(jnp.float32)).astype(jnp.int32)
-    tx = gx0 + local - q * gnx
-    ty = gy0 + q
+                  / nx_slot.astype(jnp.float32)).astype(jnp.int32)
+    r_col = local - q * nx_slot
+    wrap = (r_col == 0) & (local > 0)
     valid = slots < total
-    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+    base_delta = jnp.where(wrap, tiles_x - nx_slot + 1, 1)
+    base_delta = jnp.where(valid, base_delta, 0)
+    # Head jumps (per-Gaussian, rank order): first tile of g minus the last
+    # tile of the PREVIOUS nonzero segment (first tile of a rect =
+    # y0*tiles_x + x0; last = first + (ny-1)*tiles_x + nx-1).
+    tile_first = y0_r * tiles_x + x0_r
+    ny_r = jnp.where(nx_r > 0, ntiles_r // nx_r, 0)  # N-sized int div: cheap
+    tile_last = tile_first + (ny_r - 1) * tiles_x + nx_r - 1
+    nonzero = seg_len > 0
+    # prev nonzero segment strictly BEFORE g: shift the running last-index
+    prev_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(
+            jnp.where(nonzero, iota_n, -1))[:-1]])
+    prev_end = jnp.where(prev_before >= 0,
+                         jnp.take(tile_last, jnp.maximum(prev_before, 0)), 0)
+    head_delta = tile_first - prev_end
+    delta = jnp.zeros((m,), jnp.int32).at[head_pos].set(
+        head_delta, mode="drop")
+    # Non-head slots keep their base delta; head slots take the jump. The
+    # scatter wrote heads; add base only where not a head (local > 0).
+    delta = jnp.where(local > 0, base_delta, delta)
+    tile_id = jnp.where(valid, jnp.cumsum(delta), num_tiles)
     rank = jnp.where(valid, g_rank, n)
 
     # --- 3. ONE stable sort by tile id (rank order within a tile preserved:
@@ -261,7 +299,10 @@ def aligned_capacity(max_instances: int, num_tiles: int) -> int:
 def count_instances(proj: Projected, tiles_x: int, tiles_y: int) -> jnp.ndarray:
     """Scalar i32: instance slots this view needs (sum of tile coverage).
     Cheap (no sort/expansion) — drives capacity estimation."""
-    r = (proj.rect_radius if getattr(proj, "rect_radius", None) is not None
-         else proj.radius)
-    *_, ntiles = compute_tile_rects(proj.x2d, proj.y2d, r, tiles_x, tiles_y)
+    rx = (proj.rect_rx if getattr(proj, "rect_rx", None) is not None
+          else proj.radius)
+    ry = (proj.rect_ry if getattr(proj, "rect_ry", None) is not None
+          else proj.radius)
+    *_, ntiles = compute_tile_rects(proj.x2d, proj.y2d, rx, ry,
+                                    tiles_x, tiles_y)
     return jnp.sum(ntiles)

@@ -357,15 +357,31 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
 
     g_t_tfin = g_t * t_final        # (NPIX, 1) hoisted
 
-    # Constant reduction selector for the fused per-instance pixel sums
-    # (see the loop body): row r carries coefficient c_r on sublane block r
-    # of the stacked (6*NPIX, K) integrand. Entries {1, -0.5, -1} are
-    # bf16-exact. Built once per program, hoisted out of the chunk loop.
-    blk = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * NPIX), 1) // NPIX
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * NPIX), 0)
-    coef = jnp.where((rowi == 1) | (rowi == 3), -0.5,
-                     jnp.where(rowi == 2, -1.0, 1.0))
-    red_sel = jnp.where(rowi == blk, coef, 0.0).astype(jnp.bfloat16)
+    # Constant pixel-moment basis for the per-instance reductions (see the
+    # loop body): every gradient the chunk emits is a polynomial moment
+    # M_phi = sum_pixels phi(qx, qy) * d_power with phi in
+    # {1, qx, qy, qx^2, qx*qy, qy^2} and q the TILE-CENTERED pixel offset
+    # (+-0.5 .. +-7.5). All basis entries are products of two 4-bit-mantissa
+    # halves, hence EXACT in bf16 — so three bf16 matmuls of the split
+    # d_power give f32-exact moments (same precision model as the forward's
+    # prefix scan). Built once per program, hoisted out of the chunk loop.
+    offb = jax.lax.broadcasted_iota(jnp.int32, (8, NPIX), 1)
+    qx = (offb % TILE).astype(jnp.float32) - (TILE - 1) / 2.0
+    qy = (offb // TILE).astype(jnp.float32) - (TILE - 1) / 2.0
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, NPIX), 0)
+    basis = jnp.where(
+        rowi == 0, 1.0,
+        jnp.where(rowi == 1, qx,
+                  jnp.where(rowi == 2, qy,
+                            jnp.where(rowi == 3, qx * qx,
+                                      jnp.where(rowi == 4, qx * qy,
+                                                jnp.where(rowi == 5, qy * qy,
+                                                          0.0))))))
+    basis = basis.astype(jnp.bfloat16)
+    # Tile-centered offset of the Gaussian means (for the moment epilogue).
+    t_id = pl.program_id(0)
+    cx = ((t_id % tiles_x) * TILE).astype(jnp.float32) + (TILE - 1) / 2.0
+    cy = ((t_id // tiles_x) * TILE).astype(jnp.float32) + (TILE - 1) / 2.0
 
     # Early termination mirrors the forward: once every pixel is saturated
     # the remaining chunks contribute exactly zero gradient, so the compute
@@ -400,11 +416,10 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         a_inc = jnp.where(include, f["a"], 0.0)
         inv_om = 1.0 / jnp.maximum(1.0 - a_inc, 1e-6)
 
-        # gdotcolor_i = sum_c g_c color_ci : (NPIX, K) from 4 rank-1 FMAs.
-        gdotcolor = (chunk[R_R:R_R + 1, :] * g[:, 0:1]
-                     + chunk[R_G:R_G + 1, :] * g[:, 1:2]
-                     + chunk[R_B:R_B + 1, :] * g[:, 2:3]
-                     + chunk[R_D:R_D + 1, :] * g[:, 3:4])
+        # gdotcolor_i = sum_c g_c color_ci : one (NPIX,4)x(4,K) MXU matmul.
+        gdotcolor = jax.lax.dot_general(
+            g, _color4(chunk), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_MM_PREC)
 
         # suffix_i = <g, C_total> - inclusive-prefix_i <g, c w> — ONE scan.
         prefix_in = _lane_prefix_sum(gdotcolor * w, exclusive=False) + prefix
@@ -415,34 +430,37 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
         d_alpha = jnp.where(include, d_alpha, 0.0)
 
         # Chain to packet fields. alpha = min(0.99, o * G), G = exp(power).
+        # The ONLY (NPIX, K) integrand materialized is d_power: every packet
+        # gradient is a polynomial moment of it —
+        #   d_o   = sum d_aG G           = M_1 / o
+        #   S_x   = sum dx d_power       = M_x - mxq M_1           (dy alike)
+        #   S_xx  = sum dx^2 d_power     = M_xx - 2 mxq M_x + mxq^2 M_1
+        #   S_xy  = M_xy - mxq M_y - myq M_x + mxq myq M_1
+        #   d_ca  = -0.5 S_xx, d_cb = -S_xy, d_cc = -0.5 S_yy
+        #   d_mx  = ca S_x + cb S_y,  d_my = cc S_y + cb S_x
+        # with M_phi = sum phi(qx,qy) d_power from THREE bf16 matmuls of the
+        # split d_power against the exact-bf16 constant basis (hoisted
+        # above) — replacing the former six-block (6*NPIX, K) stacked
+        # integrand + its 3-way split, the backward's dominant VPU cost.
         op = chunk[R_O:R_O + 1, :]
         G = f["expp"]
         d_aG = jnp.where((op * G) < ALPHA_MAX, d_alpha, 0.0)
         d_power = d_aG * (op * G)
-        dx, dy = f["dx"], f["dy"]
-        px_ = dx * d_power
-        py_ = dy * d_power
-        # All six per-instance pixel reductions ride ONE MXU matmul: stack
-        # the six (NPIX, K) integrands on sublanes and contract with a
-        # constant (8, 6*NPIX) selector whose entries {1, -0.5, -1} are
-        # bf16-exact, so three one-pass bf16 matmuls of the split data are
-        # f32-exact — one dispatch chain instead of six matvecs. The mean2d
-        # grads use d_mx = sum((ca dx + cb dy) d_power) = ca S_x + cb S_y
-        # so d_dx/d_dy are never materialized.
-        x6 = jnp.concatenate(
-            [d_aG * G, px_ * dx, px_ * dy, py_ * dy, px_, py_], axis=0)
-        red = None
-        for part in _split3(x6):
+        mom = None
+        for part in _split3(d_power):
             term = jax.lax.dot_general(
-                red_sel, part, (((1,), (0,)), ((), ())),
+                basis, part, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            red = term if red is None else red + term           # (8, K)
-        d_o = red[0:1]
-        d_ca = red[1:2]
-        d_cb = red[2:3]
-        d_cc = red[3:4]
-        s_x = red[4:5]
-        s_y = red[5:6]
+            mom = term if mom is None else mom + term           # (8, K)
+        m1 = mom[0:1]
+        mxq = chunk[R_MX:R_MX + 1, :] - cx     # tile-centered mean offsets
+        myq = chunk[R_MY:R_MY + 1, :] - cy
+        s_x = mom[1:2] - mxq * m1
+        s_y = mom[2:3] - myq * m1
+        d_o = m1 / jnp.maximum(op, 1e-30)
+        d_ca = -0.5 * (mom[3:4] - mxq * (mom[1:2] + s_x))
+        d_cb = -(mom[4:5] - mxq * mom[2:3] - myq * s_x)
+        d_cc = -0.5 * (mom[5:6] - myq * (mom[2:3] + s_y))
         ca = chunk[R_CA:R_CA + 1, :]
         cb = chunk[R_CB:R_CB + 1, :]
         cc = chunk[R_CC:R_CC + 1, :]

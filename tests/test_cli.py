@@ -213,6 +213,74 @@ def test_train_cli_mesh_rejects_calibrated_modes(tmp_path):
         train_cli.main(common + ["--cubemap"])
 
 
+def test_trajectory_cli_uses_checkpoint(tmp_path, capsys):
+    """render_trajectory.py restores chkpnt*.npz: paths anchor on the
+    OPTIMIZED cameras, not the raw Scene poses (reference trajectory scripts
+    load the trained state; VERDICT r2 gap)."""
+    import numpy as np
+    import render_trajectory as traj_cli
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=4, n_pts=50,
+                        rng=np.random.default_rng(11))
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "10", "--sh_degree", "0",
+        "--backend", "jnp", "--max_instances", "4096", "--cap_max", "128",
+        "--densify_from_iter", "100000", "--opt_cam",
+        "--r_t_noise", "0.05", "0.05", "1.0",
+        "--test_iterations", "-1", "--save_iterations", "10",
+        "--checkpoint_iterations", "10", "--quiet"])
+    tdir = str(tmp_path / "traj")
+    traj_cli.main(["-m", out, "-s", root, "--mode", "sequential",
+                   "--n_frames", "3", "--backend", "jnp", "--out", tdir])
+    outp = capsys.readouterr().out
+    assert "restored full training state" in outp
+    frames = [f for f in os.listdir(tdir) if f.endswith(".png")]
+    assert len(frames) >= 3
+
+
+def test_trajectory_cli_fisheye_applies_lens_warp(tmp_path, capsys):
+    """A fisheye-trained model renders a DISTORTED trajectory: frames come
+    out at the fisheye sensor size after the lens warp
+    (render_sequential_fisheye.py:64 applies the saved flow per frame)."""
+    import numpy as np
+    import render_trajectory as traj_cli
+    import train as train_cli
+    from PIL import Image
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=4, n_pts=50,
+                        rng=np.random.default_rng(13))
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "4", "--sh_degree", "0",
+        "--backend", "jnp", "--max_instances", "4096", "--cap_max", "128",
+        "--densify_from_iter", "100000", "--outside_rasterizer",
+        "--opt_distortion", "--no_init_iresnet",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--checkpoint_iterations", "4", "--quiet"])
+    tdir = str(tmp_path / "traj")
+    traj_cli.main(["-m", out, "-s", root, "--mode", "orbit",
+                   "--n_frames", "2", "--backend", "jnp", "--out", tdir])
+    assert "restored full training state" in capsys.readouterr().out
+    frames = sorted(f for f in os.listdir(tdir) if f.endswith(".png"))
+    assert len(frames) == 2
+    from bags_tpu.train.config import TrainConfig
+    with open(os.path.join(out, "cfg.json")) as f:
+        cfg = TrainConfig.from_json(f.read())
+    assert cfg.calib.outside_rasterizer
+    # warped frames land on the fisheye sensor grid (= the 64x48 scene
+    # images here: no paired fish tree, flow_scale (1,1))
+    with Image.open(os.path.join(tdir, frames[0])) as im:
+        assert im.size == (64, 48)
+        arr = np.asarray(im)
+    assert np.isfinite(arr).all()
+
+
 def test_trajectory_cli_panorama(tmp_path):
     """--panorama_fov renders 5 cubemap faces per pose and resamples them
     into a wide-FoV perspective frame (render_mitsuba flow)."""

@@ -32,6 +32,134 @@ def _synthetic_bundle(path):
     np.savez(path, **arrays)
 
 
+def _fake_vgg16_sd(rng, torch, width=4):
+    """VGG16-shaped state dict (torchvision key layout, tiny channels)."""
+    from bags_tpu.eval.lpips_weights import VGG16_CONV_IDX
+
+    sd = {}
+    c_in = 3
+    for idx in VGG16_CONV_IDX:
+        sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.2, (width, c_in, 3, 3)).astype(np.float32))
+        sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, width).astype(np.float32))
+        c_in = width
+    return sd
+
+
+def _fake_lin_sd(rng, torch, width=4):
+    return {f"lin{k}.model.1.weight": torch.tensor(
+        np.abs(rng.normal(0, 0.1, (1, width, 1, 1))).astype(np.float32))
+        for k in range(5)}
+
+
+def test_numpy_pth_loader_matches_torch_zip(tmp_path):
+    """load_torch_pth (numpy-only) round-trips a torch zip-format save."""
+    import torch
+
+    from bags_tpu.eval.lpips_weights import load_torch_pth
+
+    rng = np.random.default_rng(2)
+    sd = {
+        "a.weight": torch.tensor(rng.normal(size=(4, 3, 3, 3))
+                                 .astype(np.float32)),
+        "a.bias": torch.tensor(rng.normal(size=(4,)).astype(np.float32)),
+        "b.weight": torch.nn.Parameter(
+            torch.tensor(rng.normal(size=(2, 4)).astype(np.float32))),
+        "c.long": torch.tensor(np.arange(6, dtype=np.int64).reshape(2, 3)),
+        "d.noncontig": torch.tensor(
+            rng.normal(size=(4, 5)).astype(np.float32)).t(),
+    }
+    path = str(tmp_path / "zip.pth")
+    torch.save(sd, path)
+    got = load_torch_pth(path)
+    assert set(got) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(got[k], sd[k].detach().numpy())
+
+
+def test_numpy_pth_loader_matches_torch_legacy(tmp_path):
+    """Same for the legacy (pre-1.6, non-zip) format — the format the
+    2017-era torchvision vgg16 / LPIPS v0.1 release files use."""
+    import torch
+
+    from bags_tpu.eval.lpips_weights import load_torch_pth
+
+    rng = np.random.default_rng(3)
+    sd = {
+        "w": torch.tensor(rng.normal(size=(3, 2, 3, 3)).astype(np.float32)),
+        "b": torch.tensor(rng.normal(size=(3,)).astype(np.float32)),
+    }
+    path = str(tmp_path / "legacy.pth")
+    torch.save(sd, path, _use_new_zipfile_serialization=False)
+    got = load_torch_pth(path)
+    assert set(got) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(got[k], sd[k].numpy())
+
+
+def test_numpy_pth_loader_rejects_arbitrary_classes(tmp_path):
+    """The restricted unpickler must refuse anything beyond a plain state
+    dict — no code execution from untrusted checkpoint files."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    from bags_tpu.eval.lpips_weights import load_torch_pth
+
+    path = str(tmp_path / "evil.pth")
+    import io
+    import zipfile
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps({"x": Evil()}))
+    with pytest.raises(Exception, match="refusing|unpickl"):
+        load_torch_pth(path)
+
+
+def test_lpips_loads_official_file_pair(tmp_path):
+    """Lpips(weights_path=<dir of untouched upstream .pth files>) works
+    end-to-end and matches the npz path bit-for-bit."""
+    import torch
+
+    from bags_tpu.eval.lpips_weights import (convert_state_dicts,
+                                             load_official_dir)
+
+    rng = np.random.default_rng(4)
+    d = tmp_path / "weights"
+    d.mkdir()
+    vgg_sd = _fake_vgg16_sd(rng, torch)
+    lin_sd = _fake_lin_sd(rng, torch)
+    # the torchvision backbone ships zip-format in modern mirrors and
+    # legacy in the original — exercise one of each
+    torch.save(vgg_sd, str(d / "vgg16-397923af.pth"))
+    torch.save(lin_sd, str(d / "vgg.pth"),
+               _use_new_zipfile_serialization=False)
+
+    arrays = load_official_dir(str(d))
+    ref = convert_state_dicts(
+        {k: v.detach().numpy() for k, v in vgg_sd.items()},
+        {k: v.detach().numpy() for k, v in lin_sd.items()})
+    assert set(arrays) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(arrays[k], ref[k])
+
+    lp = Lpips(weights_path=str(d))
+    assert lp.available
+    a = np.random.default_rng(5).uniform(0, 1, (3, 64, 64)).astype(
+        np.float32)
+    b = np.clip(a + 0.2, 0, 1)
+    same, diff = float(lp(a, a)), float(lp(a, b))
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert np.isfinite(diff) and diff > 0
+
+    npz = str(tmp_path / "conv.npz")
+    np.savez(npz, **ref)
+    lp2 = Lpips(weights_path=npz)
+    assert float(lp2(a, b)) == pytest.approx(diff, rel=1e-6)
+
+
 def test_lpips_unavailable_returns_nan():
     lp = Lpips(weights_path=None)
     assert not lp.available

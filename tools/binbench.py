@@ -37,12 +37,13 @@ def main():
     n_pad_slots = num_tiles * binning.CHUNK
 
     x0, y0, nx, ntiles = jax.jit(
-        lambda p: binning.compute_tile_rects(p.x2d, p.y2d, p.radius,
+        lambda p: binning.compute_tile_rects(p.x2d, p.y2d, p.rect_rx, p.rect_ry,
                                              tiles_x, tiles_y))(proj)
 
     def f_rects(eps):
         return binning.compute_tile_rects(proj.x2d + eps, proj.y2d,
-                                          proj.radius, tiles_x, tiles_y)
+                                          proj.rect_rx, proj.rect_ry,
+                                          tiles_x, tiles_y)
     report("tile rects", timed_chain(f_rects, None))
 
     # depth sort over N

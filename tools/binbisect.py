@@ -42,7 +42,7 @@ def main():
         y2d = proj.y2d
         iota_n = jnp.arange(n, dtype=jnp.int32)
         x0, y0, nx, ntiles = compute_tile_rects(
-            x2d, y2d, proj.radius, tiles_x, tiles_y)
+            x2d, y2d, proj.rect_rx, proj.rect_ry, tiles_x, tiles_y)
         if upto == 0:
             return (ntiles,)
         dkey = jnp.where(ntiles > 0, proj.depth, jnp.inf)
@@ -51,10 +51,9 @@ def main():
         if upto == 1:
             return depth_order, rank_of
         ntiles_r = jnp.take(ntiles, depth_order)
-        rect_pack = ((x0.astype(jnp.uint32) << 21)
-                     | (y0.astype(jnp.uint32) << 10)
-                     | jnp.clip(nx, 1, 1023).astype(jnp.uint32))
-        rect_r = jnp.take(rect_pack, depth_order)
+        nx_r = jnp.clip(jnp.take(nx, depth_order), 1, 1023)
+        x0_r = jnp.take(x0, depth_order)
+        y0_r = jnp.take(y0, depth_order)
         cum_all = jnp.cumsum(ntiles_r)
         n_dropped = jnp.maximum(cum_all[-1] - m, 0)
         kept = cum_all <= m
@@ -63,24 +62,39 @@ def main():
         offsets = seg_cum - seg_len
         total = seg_cum[-1]
         if upto == 2:
-            return rect_r, offsets, total, n_dropped
+            return nx_r, offsets, total, n_dropped
         slots = jnp.arange(m, dtype=jnp.int32)
         head_pos = jnp.where(seg_len > 0, offsets, m)
-        g_rank = _fill_forward_heads(head_pos, iota_n, m)
+        packed_rn = (iota_n << 10) | nx_r
+        rn = _fill_forward_heads(head_pos, packed_rn, m)
+        g_rank = rn >> 10
+        nx_slot = rn & 0x3FF
         if upto == 3:
-            return (g_rank,)
+            return g_rank, nx_slot
         offs_slot = _fill_forward_heads(head_pos, head_pos, m)
         local = slots - offs_slot
-        pg = jnp.take(rect_r, g_rank)
-        gx0 = (pg >> 21).astype(jnp.int32)
-        gy0 = ((pg >> 10) & 0x7FF).astype(jnp.int32)
-        gnx = (pg & 0x3FF).astype(jnp.int32)
         q = jnp.floor((local.astype(jnp.float32) + 0.5)
-                      / gnx.astype(jnp.float32)).astype(jnp.int32)
-        tx = gx0 + local - q * gnx
-        ty = gy0 + q
+                      / nx_slot.astype(jnp.float32)).astype(jnp.int32)
+        r_col = local - q * nx_slot
+        wrap = (r_col == 0) & (local > 0)
         valid = slots < total
-        tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+        base_delta = jnp.where(wrap, tiles_x - nx_slot + 1, 1)
+        base_delta = jnp.where(valid, base_delta, 0)
+        tile_first = y0_r * tiles_x + x0_r
+        ny_r = jnp.where(nx_r > 0, ntiles_r // nx_r, 0)
+        tile_last = tile_first + (ny_r - 1) * tiles_x + nx_r - 1
+        nonzero = seg_len > 0
+        prev_before = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(
+                jnp.where(nonzero, iota_n, -1))[:-1]])
+        prev_end = jnp.where(
+            prev_before >= 0,
+            jnp.take(tile_last, jnp.maximum(prev_before, 0)), 0)
+        head_delta = tile_first - prev_end
+        delta = jnp.zeros((m,), jnp.int32).at[head_pos].set(
+            head_delta, mode="drop")
+        delta = jnp.where(local > 0, base_delta, delta)
+        tile_id = jnp.where(valid, jnp.cumsum(delta), num_tiles)
         rank = jnp.where(valid, g_rank, n)
         if upto == 4:
             return tile_id, rank
@@ -116,8 +130,9 @@ def main():
         raise ValueError(upto)
 
     names = ["rects", "+depth sort & rank_of", "+capacity cumsums",
-             "+fill-forward", "+slot arith/tile_id", "+packed sort",
-             "+searchsorted ranges", "+padded_pos", "+order2 3-op sort"]
+             "+(rank|nx) fill-forward", "+delta-cumsum tile_id",
+             "+packed sort", "+searchsorted ranges", "+padded_pos",
+             "+order2 3-op sort"]
     prev = 0.0
     for i, name in enumerate(names):
         def f(eps, i=i):

@@ -47,8 +47,11 @@ def parse_collectives(hlo_text: str):
     return out
 
 
-def run_one(n_devices: int, base_gauss=4096, base_rows=4):
-    """One weak-scaling point: n_devices * base workload."""
+def run_one(n_devices: int, base_gauss=4096, base_rows=4, fixed=False):
+    """One scaling point. fixed=False: weak scaling (per-device workload
+    constant, total = n_devices x base). fixed=True: the ICI-budget view —
+    TOTAL workload constant (8x base), so the per-device collective bytes
+    vs D measure how the communication term scales at a fixed scene."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,10 +64,11 @@ def run_one(n_devices: int, base_gauss=4096, base_rows=4):
     from bags_tpu.train.config import CalibConfig, TrainConfig
 
     mesh = make_mesh(n_devices)
-    height = 16 * base_rows * n_devices
+    scale = 8 if fixed else n_devices
+    height = 16 * base_rows * scale
     width = 256
     static = CameraStatic(width=width, height=height)
-    capacity = base_gauss * n_devices
+    capacity = base_gauss * scale
     rng = np.random.default_rng(0)
     n_pts = capacity // 2
     pts = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
@@ -76,7 +80,7 @@ def run_one(n_devices: int, base_gauss=4096, base_rows=4):
         *[CameraParams.create(np.eye(3, dtype=np.float32),
                               np.zeros(3, np.float32), 0.8, 0.8)
           for _ in range(2)])
-    cfg = TrainConfig(max_instances=16384 * n_devices, mesh=n_devices,
+    cfg = TrainConfig(max_instances=16384 * scale, mesh=n_devices,
                       calib=CalibConfig(opt_cam=True))
     cfg.model.sh_degree = 2
     gt = jnp.full((2, 3, height, width), 0.5, jnp.float32)
@@ -109,6 +113,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
     p.add_argument("--md", default=None)
+    p.add_argument("--fixed", action="store_true",
+                   help="hold the TOTAL workload fixed across mesh sizes "
+                        "(ICI-bytes budget view) instead of weak scaling")
     p.add_argument("--tpu", action="store_true",
                    help="run on the real TPU backend instead of forcing a "
                         "virtual CPU mesh (needs >= max(--devices) chips)")
@@ -125,15 +132,19 @@ def main(argv=None):
         # (same trick as tests/conftest.py). Pass --tpu for real-chip runs.
         jax.config.update("jax_platforms", "cpu")
 
-    rows = [run_one(n) for n in args.devices]
+    rows = [run_one(n, fixed=args.fixed) for n in args.devices]
     base = rows[0]
+    eff_name = "strong-scaling eff." if args.fixed else "weak-scaling eff."
     lines = [
-        "| devices | pixels/step | step ms | pix/s | weak-scaling eff. | "
+        f"| devices | pixels/step | step ms | pix/s | {eff_name} | "
         "collectives (op: count, MB/step) |",
         "|---|---|---|---|---|---|",
     ]
     for r in rows:
-        eff = (r["pix_per_s"] / r["n"]) / base["pix_per_s"]
+        if args.fixed:
+            eff = r["pix_per_s"] / (base["pix_per_s"] * r["n"])
+        else:
+            eff = (r["pix_per_s"] / r["n"]) / base["pix_per_s"]
         cols = "; ".join(
             f"{op}: {cnt}x, {byt / 1e6:.2f}"
             for op, (cnt, byt) in sorted(r["collectives"].items()))
