@@ -92,39 +92,24 @@ def _halo_slab_loss(pred, gt, axis, y0_px, true_height, lambda_dssim):
     return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_mean)
 
 
-def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
-                        lambda_dssim: float = 0.2, hybrid: bool = False,
-                        return_image: bool = True):
-    """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, spec, gt,
-    bg) -> (loss, aux), differentiable, executing tile-parallel over `mesh`.
+def _tiles_y_local(static: CameraStatic, d: int) -> int:
+    _, tiles_y0 = binning.tile_grid(static.width, static.height)
+    return (-(-tiles_y0 // d) * d) // d
 
-    hybrid: per-Gaussian ASG specular color — `g.asg` is sharded with the
-    other Gaussian fields, the specular MLP params replicate, and the extra
-    color is computed on the owning shard BEFORE the packet all-gather (it
-    folds into the per-Gaussian color rows, so it moves zero extra bytes).
 
-    probe2d / abs_probe: (C, 2) zeros — the signed / abs densification
-    gradient channels (see render.py docstring); their gradients are the
-    psum'd per-Gaussian screen-gradient stats.
-
-    The tile-row grid is padded up to a multiple of the mesh size so every
-    device owns an equal slab; PROJECTION uses the true image height (the
-    ndc->pixel mapping must not change), padded rows render empty, and the
-    loss is sliced back to the true height after the slab all-gather. `gt`
-    must arrive padded to padded_height(...) rows (see ShardedTrainer).
-    """
-    axis = mesh.axis_names[0]
-    d = mesh.devices.size
-    true_height = static.height
-    tiles_x, tiles_y0 = binning.tile_grid(static.width, static.height)
-    tiles_y = -(-tiles_y0 // d) * d
-    tiles_y_local = tiles_y // d
+def _make_device_render(axis: str, static: CameraStatic, rcfg: RenderConfig,
+                        d: int, hybrid: bool, shift_enabled: bool = False):
+    """Per-device tile-slab render closure shared by the vanilla and
+    fisheye sharded steps (module docstring steps 1-4). Returns
+    (slab, gathered_projection, bins, y0_px)."""
+    tiles_x, _ = binning.tile_grid(static.width, static.height)
+    tiles_y_local = _tiles_y_local(static, d)
     local_max_inst = -(-(rcfg.max_instances // d) // binning.CHUNK) \
         * binning.CHUNK
 
-    def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
-                  asg, alive, cam, align, probe2d, abs_probe, spec,
-                  gt_slab, bg):
+    def render_slab(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
+                    asg, alive, cam, align, probe2d, abs_probe, spec, bg,
+                    shift=None):
         # 1. project the local Gaussian shard
         g_local = Gaussians(xyz=xyz, sh_dc=sh_dc, sh_rest=sh_rest,
                             scales_log=scales_log, quats=quats,
@@ -138,7 +123,8 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
             xyz, g_local.scaling(), quats, g_local.opacity(alive),
             g_local.sh_coeffs(), cam, static, rcfg.sh_degree,
             align=align, scale_modifier=rcfg.scale_modifier,
-            extra_color=extra)
+            extra_color=extra,
+            shift_factors=shift if shift_enabled else None)
 
         # 2. all-gather projected packets (SoA: one (C,) vector per field)
         full = jax.tree_util.tree_map(
@@ -173,8 +159,47 @@ def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
                 bins.tile_start, bins.tile_count, tiles_x,
                 tiles_y_local, bg, max_per_tile=rcfg.max_per_tile)
 
-        slab = tiles.tiles_to_image(tile_img.color, tiles_x, tiles_y_local,
-                                    static.width, tiles_y_local * binning.TILE)
+        slab = tiles.tiles_to_image(
+            tile_img.color, tiles_x, tiles_y_local,
+            static.width, tiles_y_local * binning.TILE)
+        return slab, full, bins, y0_px
+
+    return render_slab
+
+
+def sharded_render_loss(mesh: Mesh, static: CameraStatic, rcfg: RenderConfig,
+                        lambda_dssim: float = 0.2, hybrid: bool = False,
+                        return_image: bool = True):
+    """Returns loss_fn(g, alive, cam, align, probe2d, abs_probe, spec, gt,
+    bg) -> (loss, aux), differentiable, executing tile-parallel over `mesh`.
+
+    hybrid: per-Gaussian ASG specular color — `g.asg` is sharded with the
+    other Gaussian fields, the specular MLP params replicate, and the extra
+    color is computed on the owning shard BEFORE the packet all-gather (it
+    folds into the per-Gaussian color rows, so it moves zero extra bytes).
+
+    probe2d / abs_probe: (C, 2) zeros — the signed / abs densification
+    gradient channels (see render.py docstring); their gradients are the
+    psum'd per-Gaussian screen-gradient stats.
+
+    The tile-row grid is padded up to a multiple of the mesh size so every
+    device owns an equal slab; PROJECTION uses the true image height (the
+    ndc->pixel mapping must not change), padded rows render empty, and the
+    loss is sliced back to the true height after the slab all-gather. `gt`
+    must arrive padded to padded_height(...) rows (see ShardedTrainer).
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    true_height = static.height
+    tiles_y_local = _tiles_y_local(static, d)
+    render_slab = _make_device_render(axis, static, rcfg, d, hybrid)
+
+    def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
+                  asg, alive, cam, align, probe2d, abs_probe, spec,
+                  gt_slab, bg):
+        slab, full, bins, y0_px = render_slab(
+            xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest, asg,
+            alive, cam, align, probe2d, abs_probe, spec, bg)
 
         # 5. slab-local loss with 5-px halo exchange + scalar psums — the
         # post-composite collective is O(W) per device instead of the old

@@ -168,3 +168,143 @@ class ShardedTrainer(Trainer):
         # different layout through the pairing argsorts).
         self.state = fn(self.state)
         self._shard_state()
+
+
+class ShardedCalibTrainer(ShardedTrainer):
+    """Fisheye (outside-rasterizer) training over a device mesh: the
+    tile-slab sharded render + one image all-gather + row-sharded lens warp
+    and halo loss (dist/calib.py). Mirrors `CalibTrainer`'s fisheye mode —
+    same CalibState, same optimizer schedules, same iResNet pre-fit — so
+    checkpoints interchange with single-chip runs."""
+
+    def __init__(self, g, alive, cams, static: CameraStatic,
+                 cfg: TrainConfig, scene_extent: float, gt_images,
+                 focal_x, focal_y, persp_wh, fish_wh=None, source_path="",
+                 bg=None, rcfg: Optional[RenderConfig] = None,
+                 seed: int = 0, mesh=None, n_devices: Optional[int] = None,
+                 fish_images=None):
+        import dataclasses
+
+        from ..train.calibrated import (fisheye_control_points,
+                                        init_calib_state,
+                                        make_fisheye_setup)
+
+        calib = cfg.calib
+        if calib.cubemap:
+            raise NotImplementedError("--mesh does not support --cubemap")
+        if calib.apply2gt:
+            raise NotImplementedError(
+                "--mesh fisheye supports the apply-to-render direction "
+                "only; drop --apply2gt or train single-chip")
+        self.mode = "fisheye"
+        self.focal = (float(focal_x), float(focal_y))
+        fish_wh = fish_wh or persp_wh
+        self.setup = make_fisheye_setup(
+            focal_x, focal_y, persp_wh, fish_wh,
+            flow_scale=calib.flow_scale,
+            render_resolution=calib.render_resolution,
+            control_point_sample_scale=int(calib.control_point_sample_scale),
+            apply2gt=calib.apply2gt)
+        static = self.setup.render_static
+        import jax.numpy as _jnp
+        cams = dataclasses.replace(
+            cams,
+            fovx=_jnp.full_like(cams.fovx, self.setup.fovx),
+            fovy=_jnp.full_like(cams.fovy, self.setup.fovy))
+        self.p_view = fisheye_control_points(
+            self.setup, focal_x, focal_y, calib.flow_scale)
+
+        super().__init__(g, alive, cams, static, cfg, scene_extent,
+                         gt_images, bg=bg, rcfg=rcfg, seed=seed, mesh=mesh,
+                         n_devices=n_devices)
+        self.fish_images = fish_images or gt_images
+        d = self.mesh.devices.size
+        fh, fw = self.setup.fish_hw
+        self._fish_pad = -(-fh // d) * d
+
+        calib_state, self.txs = init_calib_state(self.state, cfg, seed)
+        self.state = calib_state
+        if calib.opt_distortion and not calib.no_init_iresnet:
+            from ..calib.distortion import (init_iresnet_from_colmap,
+                                            read_colmap_coeff)
+            coeff = read_colmap_coeff(source_path) if source_path \
+                else [0.0, 0.0, 0.0, 0.0]
+            K = np.array([[focal_x, 0, fish_wh[0] / 2],
+                          [0, focal_y, fish_wh[1] / 2], [0, 0, 1.0]])
+            print(f"pre-fitting lens net to coeff {coeff} ...", flush=True)
+            lens = init_iresnet_from_colmap(
+                self.state.lens, K, fish_wh[0], fish_wh[1], coeff)
+            self.state = dataclasses.replace(self.state, lens=lens)
+        self._shard_state()
+
+    # -- sharding ----------------------------------------------------------
+
+    def _shardings_for(self, state):
+        from ..train.calibrated import CalibState
+
+        if not isinstance(state, CalibState):
+            return super()._shardings_for(state)
+        import dataclasses as _dc
+
+        rep = NamedSharding(self.mesh, P())
+
+        def rep_tree(sub):
+            return jax.tree_util.tree_map(lambda _: rep, sub)
+
+        base_sh = super()._shardings_for(state.base)
+        return CalibState(
+            base=base_sh,
+            lens=rep_tree(state.lens), lens_opt=rep_tree(state.lens_opt),
+            cubemap_net=rep_tree(state.cubemap_net),
+            cubemap_opt=rep_tree(state.cubemap_opt),
+            vig=rep_tree(state.vig), vig_opt=rep_tree(state.vig_opt),
+            shift=rep_tree(state.shift),
+            shift_opt=rep_tree(state.shift_opt))
+
+    def _pad_fish_gt(self, gt):
+        gt = jnp.asarray(gt)
+        if gt.shape[1] != self._fish_pad:
+            gt = jnp.pad(gt, ((0, 0), (0, self._fish_pad - gt.shape[1]),
+                              (0, 0)))
+        return jax.device_put(gt, self._gt_sharding)
+
+    # -- step dispatch -------------------------------------------------------
+
+    def _calib_step_fn(self, it: int):
+        from .calib import make_sharded_fisheye_step
+
+        calib = self.cfg.calib
+        opt_lens = (calib.opt_distortion
+                    and calib.iresnet_opt_duration[0] <= it
+                    < calib.iresnet_opt_duration[1]
+                    and it >= calib.start_opt_lens)
+        use_vig = it > calib.start_vignetting
+        key = (self.active_sh_degree, "sharded-fisheye", opt_lens, use_vig)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_fisheye_step(
+                self.mesh, self.setup, self.rcfg, self.cfg, self.g_tx,
+                self.txs, self.active_sh_degree, opt_lens, use_vig)
+        return self._steps[key]
+
+    def _train_step_fn(self):
+        raise RuntimeError("ShardedCalibTrainer uses _calib_step_fn")
+
+    def _invoke_step(self, it, idx, gt):
+        from ..train.loop import StepMetrics
+
+        gt_img = self.fish_images(idx) if callable(self.fish_images) \
+            else self.fish_images[idx]
+        gt_img = self._pad_fish_gt(gt_img)
+        self.state, (loss, n_drop) = self._calib_step_fn(it)(
+            self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
+        b = self.state.base
+        return StepMetrics(loss=loss, l1=loss,
+                           n_alive=jnp.sum(b.alive),
+                           n_dropped=n_drop)
+
+    def _base_transform(self, fn) -> None:
+        import dataclasses
+
+        self.state = dataclasses.replace(self.state,
+                                         base=fn(self.state.base))
+        self._shard_state()

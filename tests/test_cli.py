@@ -191,9 +191,10 @@ def test_train_cli_mesh_checkpoint_resume(tmp_path):
     assert os.path.exists(os.path.join(out, "chkpnt6.npz"))
 
 
-def test_train_cli_mesh_rejects_calibrated_modes(tmp_path):
-    """--mesh + fisheye/cubemap must hard-error, not silently train an
-    uncalibrated model (train.py mesh dispatch guard)."""
+def test_train_cli_mesh_calibrated_modes(tmp_path):
+    """--mesh + cubemap/apply2gt must hard-error, not silently train an
+    uncalibrated model (train.py mesh dispatch guard); --mesh + fisheye
+    trains via ShardedCalibTrainer and writes a CalibState checkpoint."""
     import numpy as np
     import pytest
     import train as train_cli
@@ -206,11 +207,18 @@ def test_train_cli_mesh_rejects_calibrated_modes(tmp_path):
     common = ["-s", root, "-m", out, "--sh_degree", "0", "--backend", "jnp",
               "--max_instances", "4096", "--cap_max", "128", "--mesh", "2",
               "--iterations", "2", "--quiet", "--test_iterations", "-1",
-              "--save_iterations", "-1", "--checkpoint_iterations", "-1"]
-    with pytest.raises(NotImplementedError, match="fisheye"):
-        train_cli.main(common + ["--outside_rasterizer"])
+              "--save_iterations", "-1"]
     with pytest.raises(NotImplementedError, match="cubemap"):
-        train_cli.main(common + ["--cubemap"])
+        train_cli.main(common + ["--cubemap",
+                                 "--checkpoint_iterations", "-1"])
+    with pytest.raises(NotImplementedError, match="apply2gt|apply-to"):
+        train_cli.main(common + ["--outside_rasterizer", "--apply2gt",
+                                 "--checkpoint_iterations", "-1"])
+    train_cli.main(common + ["--outside_rasterizer", "--opt_distortion",
+                             "--no_init_iresnet",
+                             "--densify_from_iter", "100000",
+                             "--checkpoint_iterations", "2"])
+    assert os.path.exists(os.path.join(out, "chkpnt2.npz"))
 
 
 def test_trajectory_cli_uses_checkpoint(tmp_path, capsys):

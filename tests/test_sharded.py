@@ -255,3 +255,162 @@ def test_sharded_mcmc_relocation_runs():
     assert np.isfinite(hist[-1][1])
     # SGLD noise + relocation moved positions on the sharded state
     assert float(np.max(np.abs(np.asarray(tr.state.g.xyz) - xyz0))) > 0
+
+
+@pytest.mark.parametrize("flow_scale", [(1.0, 1.0), (1.5, 1.5)])
+def test_sharded_fisheye_step_matches_single_device(flow_scale):
+    """One sharded fisheye train step (dist/calib.py) matches one
+    single-chip fisheye step (train/calibrated.py) from the same CalibState:
+    loss, Gaussian update, camera update, and lens update. flow_scale 1.0
+    exercises the no-crop warp branch; 1.5 the banded center-crop branch."""
+    n_devices = 4
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    from bags_tpu.dist.calib import make_sharded_fisheye_step
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.train import calibrated
+    from bags_tpu.train.config import CalibConfig, OptimizationConfig, \
+        TrainConfig
+    from bags_tpu.train.loop import init_train_state
+
+    mesh = make_mesh(n_devices)
+    cfg = TrainConfig(
+        opt=OptimizationConfig(),
+        calib=CalibConfig(opt_cam=True, opt_distortion=True,
+                          iresnet_lr=1e-6, flow_scale=list(flow_scale)),
+        max_instances=2 ** 13)
+    rng = np.random.default_rng(5)
+    sc = make_toy_scene(n=60, width=48, height=48, sh_degree=0, seed=5)
+    pts = np.asarray(sc["xyz"]) + rng.normal(0, 0.05, (60, 3)).astype(
+        np.float32)
+    cols = rng.uniform(0.2, 0.8, (60, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, 128, sh_degree=0)
+    cams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.9, 0.9)
+          for _ in range(2)])
+    base, g_tx, _, _ = init_train_state(g, alive, cams, cfg, 2.0)
+    calib_state, txs = calibrated.init_calib_state(base, cfg)
+    calib_state = dataclasses.replace(
+        calib_state,
+        lens=jax.tree_util.tree_map(lambda x: x * 1e-4, calib_state.lens))
+
+    setup = calibrated.make_fisheye_setup(
+        focal_x=40.0, focal_y=40.0, persp_wh=(48, 48), fish_wh=(48, 48),
+        flow_scale=flow_scale, control_point_sample_scale=8)
+    p_view = calibrated.fisheye_control_points(setup, 40.0, 40.0,
+                                               flow_scale)
+    b2 = calib_state.base
+    cams2 = dataclasses.replace(
+        b2.cams,
+        fovx=jnp.full_like(b2.cams.fovx, setup.fovx),
+        fovy=jnp.full_like(b2.cams.fovy, setup.fovy))
+    calib_state = dataclasses.replace(
+        calib_state, base=dataclasses.replace(b2, cams=cams2))
+
+    rcfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=2 ** 13,
+                        max_per_tile=1024)
+    fh, fw = setup.fish_hw
+    fish_gt = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (3, fh, fw)).astype(
+            np.float32))
+    bg = jnp.zeros(3)
+
+    step_1 = calibrated.make_fisheye_train_step(
+        setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
+        use_vignetting=False)
+    st1, (loss1, _, _) = step_1(calib_state, fish_gt, p_view,
+                                jnp.asarray(0), bg)
+
+    step_n = make_sharded_fisheye_step(
+        mesh, setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
+        use_vignetting=False)
+    d = n_devices
+    fh_pad = -(-fh // d) * d
+    fish_pad = jnp.pad(fish_gt, ((0, 0), (0, fh_pad - fh), (0, 0)))
+    stn, (lossn, _) = step_n(calib_state, fish_pad, p_view,
+                             jnp.asarray(0), bg)
+
+    np.testing.assert_allclose(float(lossn), float(loss1),
+                               rtol=1e-4, atol=1e-6)
+    for name, a, b in [
+            ("xyz", st1.base.g.xyz, stn.base.g.xyz),
+            ("dq", st1.base.cams.dq, stn.base.cams.dq),
+            ("dt", st1.base.cams.dt, stn.base.cams.dt)]:
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5, err_msg=name)
+    for la, lb in zip(jax.tree_util.tree_leaves(st1.lens),
+                      jax.tree_util.tree_leaves(stn.lens)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-3, atol=1e-7)
+
+
+def test_sharded_stress_realistic_shapes():
+    """VERDICT r3 item 6: the sharded path at realistic shapes on the
+    virtual mesh — 512x256 image, 1e5 Gaussians, an intentionally SKEWED
+    alive distribution across shards, and capacity overflow — asserting
+    loss parity vs single-chip (ample capacity) and overflow reporting
+    (tight capacity). Step time is printed for the record."""
+    import time
+
+    n_devices = 8
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    w, h = 512, 256
+    n = 100_000
+    sc = make_toy_scene(n=n, width=w, height=h, sh_degree=1, seed=3,
+                        scale_range=(0.004, 0.012))
+    static = sc["static"]
+
+    from bags_tpu.core.camera import GlobalAlignment
+    from bags_tpu.model.gaussians import Gaussians
+    g = Gaussians(
+        xyz=sc["xyz"], sh_dc=sc["sh_coeffs"][:, :1, :],
+        sh_rest=sc["sh_coeffs"][:, 1:, :],
+        scales_log=jnp.log(sc["scales"]), quats=sc["quats"],
+        opacity_raw=jnp.log(sc["opacity"] / (1 - sc["opacity"])))
+    # Skew: shard 0 fully alive, shards 1..6 sparse, shard 7 dead.
+    alive_np = np.zeros((n,), bool)
+    per = n // n_devices
+    alive_np[:per] = True
+    alive_np[per:7 * per:5] = True
+    alive = jnp.asarray(alive_np)
+    gt = jnp.full((3, h, w), 0.3)
+    bg = jnp.zeros(3)
+    align = GlobalAlignment.identity()
+    probe = jnp.zeros((n, 2))
+
+    # --- parity at ample capacity ---------------------------------------
+    rcfg = RenderConfig(sh_degree=1, backend="jnp",
+                        max_instances=2 ** 19, max_per_tile=2048)
+    loss_fn = sharded_render_loss(mesh, static, rcfg, return_image=False)
+    f = jax.jit(lambda g_, cam: loss_fn(g_, alive, cam, align, probe,
+                                        probe, gt, bg)[0])
+    t0 = time.perf_counter()
+    loss_sharded = float(f(g, sc["cam"]))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ls = f(g, sc["cam"])
+    jax.block_until_ready(ls)
+    step_ms = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"[stress] 8-dev virtual mesh 512x256/1e5: compile {compile_s:.0f}s"
+          f" step {step_ms:.0f}ms")
+
+    out = render(g.xyz, g.scaling(), g.quats, g.opacity(alive),
+                 g.sh_coeffs(), sc["cam"], static, rcfg, bg=bg)
+    loss_single = float(photometric_loss(out.render, gt))
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=2e-5)
+
+    # --- capacity overflow under sharding --------------------------------
+    rcfg_tight = RenderConfig(sh_degree=1, backend="jnp",
+                              max_instances=8 * 1024, max_per_tile=2048)
+    loss_tight = sharded_render_loss(mesh, static, rcfg_tight,
+                                     return_image=False)
+    loss_v, aux = jax.jit(
+        lambda g_, cam: loss_tight(g_, alive, cam, align, probe, probe,
+                                   gt, bg))(g, sc["cam"])
+    assert int(aux["n_dropped"]) > 0, "tight budget should overflow"
+    assert np.isfinite(float(loss_v))

@@ -224,9 +224,25 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                 "--mesh does not support --cubemap yet; drop --mesh or "
                 "train the cubemap model single-chip.")
         if cfg.calib.outside_rasterizer:
-            raise NotImplementedError(
-                "--mesh does not support --outside_rasterizer (fisheye) "
-                "yet; drop --mesh or train the fisheye model single-chip.")
+            from bags_tpu.dist.trainer import ShardedCalibTrainer
+
+            info0 = scene.train_infos[0]
+            fish_wh = (scene.static.width, scene.static.height)
+            if info0.fish_image_path:
+                from PIL import Image
+                with Image.open(info0.fish_image_path) as im:
+                    fish_wh = im.size
+            trainer = ShardedCalibTrainer(
+                scene.gaussians, scene.alive, scene.train_cams,
+                scene.static, cfg, scene_extent=scene.cameras_extent,
+                gt_images=scene.train_image,
+                focal_x=info0.focal_x, focal_y=info0.focal_y,
+                persp_wh=(scene.static.width, scene.static.height),
+                fish_wh=fish_wh, source_path=cfg.model.source_path,
+                rcfg=rcfg, seed=cfg.seed, n_devices=cfg.mesh,
+                fish_images=(scene.fish_image if info0.fish_image_path
+                             else scene.train_image))
+            return scene, trainer, _finalize_capacity(cfg, trainer, rcfg)
         from bags_tpu.dist.trainer import ShardedTrainer
 
         trainer = ShardedTrainer(
