@@ -109,8 +109,16 @@ def iresnet_forward(params: IResNetParams, x: jnp.ndarray,
     for b in reversed(range(n_blocks)):
         y = x
 
+        # remat: under reverse-mode AD the fori_loop is scan-converted and
+        # would otherwise store every iteration's 512-wide MLP activations
+        # (INVERSE_ITERS x n_pts x HIDDEN x n_layers floats — 21 GB at a
+        # 100x100 control grid); checkpointing the residual keeps only the
+        # (n_pts, 2) carries and recomputes g in the backward.
+        g_ckpt = jax.checkpoint(
+            lambda xk, b=b: _block_residual(params, b, xk))
+
         def body(_, xk):
-            return y - _block_residual(params, b, xk)
+            return y - g_ckpt(xk)
 
         x = jax.lax.fori_loop(0, INVERSE_ITERS, body, y)
     return x

@@ -259,6 +259,7 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
     from ..train.loop import TrainState, row_adam_update
 
     hybrid = bool(getattr(cfg.calib, "hybrid", False))
+    K = cfg.opt.batch_cams
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     loss_fn = sharded_render_loss(mesh, static, rcfg, cfg.opt.lambda_dssim,
                                   hybrid=hybrid, return_image=False)
@@ -267,12 +268,32 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
     def step(state: TrainState, gt, cam_idx, bg):
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], state.cams)
         n_cap = state.g.capacity
-        probe = jnp.zeros((n_cap, 2), jnp.float32)
-        absp = jnp.zeros((n_cap, 2), jnp.float32)
+        lead = (K,) if K > 1 else ()
+        probe = jnp.zeros(lead + (n_cap, 2), jnp.float32)
+        absp = jnp.zeros(lead + (n_cap, 2), jnp.float32)
 
-        def wrapped(g, cam, align, probe2d, abs_probe, spec):
-            return loss_fn(g, state.alive, cam, align, probe2d, abs_probe,
-                           gt, bg, spec=spec)
+        if K > 1:
+            # K views per step: mean loss over K unrolled sharded renders
+            # (vmap cannot map a shard_map'd Pallas grid; the unroll lets
+            # XLA pipeline the K independent chains), per-view probes so
+            # densify stats accumulate exactly like K single-view steps.
+            def wrapped(g, cams_k, align, probes, absps, spec):
+                total = 0.0
+                radii, nd = [], 0
+                for k in range(K):
+                    cam_k = jax.tree_util.tree_map(lambda x: x[k], cams_k)
+                    l_k, aux_k = loss_fn(g, state.alive, cam_k, align,
+                                         probes[k], absps[k], gt[k], bg,
+                                         spec=spec)
+                    total = total + l_k
+                    radii.append(aux_k["radii"])
+                    nd = nd + aux_k["n_dropped"]
+                return total / K, dict(radii=jnp.stack(radii),
+                                       n_dropped=nd)
+        else:
+            def wrapped(g, cam, align, probe2d, abs_probe, spec):
+                return loss_fn(g, state.alive, cam, align, probe2d,
+                               abs_probe, gt, bg, spec=spec)
 
         argnums = (0, 1, 2, 3, 4, 5) if hybrid else (0, 1, 2, 3, 4)
         (loss, aux), grads = jax.value_and_grad(
@@ -301,8 +322,17 @@ def make_sharded_train_step(mesh: Mesh, static: CameraStatic,
         else:
             new_spec, spec_opt = state.spec, state.spec_opt
 
-        stats = update_stats(state.stats, signed_stat, abs_stat,
-                             aux["radii"], aux["radii"] > 0)
+        if K > 1:
+            # mean-over-views scales probe cotangents by 1/K; densify
+            # thresholds are single-view reference magnitudes (loop.py).
+            stats = state.stats
+            for k in range(K):
+                stats = update_stats(stats, signed_stat[k] * K,
+                                     abs_stat[k] * K, aux["radii"][k],
+                                     aux["radii"][k] > 0)
+        else:
+            stats = update_stats(state.stats, signed_stat, abs_stat,
+                                 aux["radii"], aux["radii"] > 0)
 
         new_state = dataclasses.replace(
             state, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,

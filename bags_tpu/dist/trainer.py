@@ -70,9 +70,6 @@ class ShardedTrainer(Trainer):
                  cfg: TrainConfig, scene_extent: float, gt_images,
                  bg=None, rcfg: Optional[RenderConfig] = None,
                  seed: int = 0, mesh=None, n_devices: Optional[int] = None):
-        if cfg.opt.batch_cams > 1:
-            raise ValueError("--batch_cams > 1 is not supported with --mesh "
-                             "(the sharded step is single-view)")
         self.mesh = mesh or make_mesh(n_devices)
         d = self.mesh.devices.size
         from .mesh import padded_height
@@ -152,10 +149,19 @@ class ShardedTrainer(Trainer):
                 spec_tx=self.spec_tx)
         return self._steps[dkey]
 
-    def _invoke_step(self, it: int, idx: int, gt):
+    def _invoke_step(self, it: int, idx, gt):
         from ..train.loop import StepMetrics
 
-        gt = self._pad_gt(gt)
+        if self.cfg.opt.batch_cams > 1:
+            # gt arrives (K, 3, H, W) from Trainer.run — pad + shard each
+            # view's rows, keeping the K axis replicated.
+            gt = jnp.stack([jnp.pad(
+                g, ((0, 0), (0, self.pad_height - g.shape[1]), (0, 0)))
+                for g in gt])
+            gt = jax.device_put(
+                gt, NamedSharding(self.mesh, P(None, None, "tile", None)))
+        else:
+            gt = self._pad_gt(gt)
         self.state, (loss, n_dropped) = self._train_step_fn()(
             self.state, gt, jnp.asarray(idx), self.bg)
         return StepMetrics(loss=loss, l1=loss,
@@ -190,6 +196,9 @@ class ShardedCalibTrainer(ShardedTrainer):
                                         make_fisheye_setup)
 
         calib = cfg.calib
+        if cfg.opt.batch_cams > 1:
+            raise ValueError("--batch_cams > 1 is not supported with the "
+                             "fisheye/cubemap calibrated modes")
         if calib.cubemap:
             raise NotImplementedError("--mesh does not support --cubemap")
         if calib.apply2gt:

@@ -246,11 +246,12 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     tile_start = tbounds[:num_tiles]
     tile_count = tbounds[1:] - tbounds[:num_tiles]
 
-    # Spill margin: a tile's last DMA window [start + k*CHUNK, +CHUNK) may
-    # extend past `total` for the final tile; CHUNK sentinel slots keep the
-    # instance-row gather in bounds (rank N backs the zero column).
+    # Spill margin: a tile's last DMA window may extend past `total` for
+    # the final tile; 2*CHUNK sentinel slots keep the instance-row gather
+    # in bounds (rank N backs the zero column) — sized for the forward
+    # kernel's 2-chunk streaming windows (pallas_raster.FWD_LANES).
     rank_sorted = jnp.concatenate(
-        [rank_sorted, jnp.full((CHUNK,), n, jnp.int32)])
+        [rank_sorted, jnp.full((2 * CHUNK,), n, jnp.int32)])
 
     # --- 5. rank-grouping permutation for the gradient reduction -----------
     # padded_pos[s]: column of slot s in the Pallas backward's padded
@@ -267,7 +268,7 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     # cummax fill-forward instead of a (m,) gather keyed by the slot's tile
     # id (~7 ms at 2^20 on v5e). Co-located tile starts (empty tiles) take
     # the max = the owning tile's base.
-    c_out = padded_chunks(m + CHUNK, num_tiles)
+    c_out = padded_chunks(m + 2 * CHUNK, num_tiles)
     slots_m = jnp.arange(m, dtype=jnp.int32)
     base_slot = _fill_forward_heads(
         jnp.minimum(tile_start, m), base.astype(jnp.int32), m)
@@ -293,7 +294,7 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
 
 def aligned_capacity(max_instances: int, num_tiles: int) -> int:
     """Static size of the instance-row buffer (budget + spill margin)."""
-    return max_instances + CHUNK
+    return max_instances + 2 * CHUNK
 
 
 def count_instances(proj: Projected, tiles_x: int, tiles_y: int) -> jnp.ndarray:

@@ -53,6 +53,12 @@ from .tiles import ALPHA_MAX, ALPHA_MIN, T_EPS, TileImage
 NPIX = TILE * TILE     # 256 pixels per tile
 K = CHUNK              # Gaussians per chunk == lane width (Mosaic DMA alignment)
 FEATS = 16             # packet rows (10 used, padded for alignment)
+# Forward streaming width (env override for A/B perf runs; 256 = 2 binning
+# chunks per loop iteration). Measured ~neutral on the bench workload at
+# mean tile occupancy ~1.4 chunks (isolated-kernel gains are offset by
+# coarser masking/early-termination granularity), so the default stays K.
+# The backward stays at K: its padded output layout is keyed to K windows.
+FWD_LANES = int(os.environ.get("BAGS_TPU_FWD_LANES", str(K)))
 
 # Packet row indices.
 R_MX, R_MY, R_CA, R_CB, R_CC, R_O, R_R, R_G, R_B, R_D = range(10)
@@ -83,8 +89,8 @@ def _split3(x: jnp.ndarray):
 
 
 def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
-    """Prefix sum along axis 1 (lanes) of (NPIX, K) as triangular
-    (NPIX, K) x (K, K) matmuls on the MXU, freeing the VPU (the kernel's
+    """Prefix sum along axis 1 (lanes) of (NPIX, L) as triangular
+    (NPIX, L) x (L, L) matmuls on the MXU, freeing the VPU (the kernel's
     bottleneck) of the 21-op Hillis-Steele shift-add scan. Mosaic has no
     cumsum lowering.
 
@@ -92,8 +98,9 @@ def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
     only the data operand into three bf16 terms gives f32-exact products in
     THREE one-pass bf16 matmuls — half the MXU passes of a HIGHEST f32
     matmul (6), with the same f32 accumulation."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    lanes = x.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
     tri = ((r < c) if exclusive else (r <= c)).astype(jnp.bfloat16)
     out = None
     for part in _split3(x):
@@ -105,8 +112,8 @@ def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool) -> jnp.ndarray:
 
 
 def _lane_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """(NPIX, K) -> (NPIX, 1) row sums on the MXU (ones matvec)."""
-    ones = jnp.ones((K, 1), jnp.float32)
+    """(NPIX, L) -> (NPIX, 1) row sums on the MXU (ones matvec)."""
+    ones = jnp.ones((x.shape[1], 1), jnp.float32)
     return jax.lax.dot_general(
         x, ones, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -192,32 +199,34 @@ def _color4(chunk):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tiles_x: int, max_chunks: int,
+def _fwd_kernel(tiles_x: int, max_chunks: int, lanes: int,
                 chunk0_ref, off_ref, count_ref, nxt_ref, rows_hbm,
                 out_color, out_t, scratch, sems):
     t = pl.program_id(0)
     # Tile starts are NOT chunk-aligned (binning v3), but Mosaic requires
     # DMA offsets provably divisible by the lane tiling, so every window is
-    # taken at the ALIGNED-DOWN chunk boundary `(chunk0 + i) * K` and the
-    # `off` head lanes (plus the tail spill) are excluded by the `valid`
-    # lane mask. `chunk0`/`off` are host-computed (tile_start // K, % K).
+    # taken at the ALIGNED-DOWN chunk boundary `chunk0 * K` (advancing by
+    # `lanes` — the forward streams 2 binning chunks per iteration to halve
+    # loop/DMA-wait overhead) and the `off` head lanes (plus the tail
+    # spill) are excluded by the `valid` lane mask. `chunk0`/`off` are
+    # host-computed (tile_start // K, % K).
     chunk0 = chunk0_ref[t]
     off = off_ref[t]
     count = count_ref[t]
     n_chunks = jnp.where(
-        count > 0, jnp.minimum(pl.cdiv(off + count, K), max_chunks), 0)
+        count > 0, jnp.minimum(pl.cdiv(off + count, lanes), max_chunks), 0)
     px, py = _pixel_coords(tiles_x)
     num_tiles = pl.num_programs(0)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds((chunk0 + chunk_idx) * K, K)],
+            rows_hbm.at[:, pl.ds(chunk0 * K + chunk_idx * lanes, lanes)],
             scratch.at[slot], sems.at[slot])
 
     def dma_tile0(tile):
         # chunk 0 of another tile — the cross-program prefetch handoff.
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(chunk0_ref[tile] * K, K)],
+            rows_hbm.at[:, pl.ds(chunk0_ref[tile] * K, lanes)],
             scratch.at[0], sems.at[0])
 
     # Cross-program DMA pipelining: every NON-EMPTY tile's chunk-0 copy is
@@ -257,8 +266,8 @@ def _fwd_kernel(tiles_x: int, max_chunks: int,
 
         dma(slot, i).wait()
         chunk = scratch[slot]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        pos = i * K + lanes
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+        pos = i * lanes + lane_i
         valid = (pos >= off) & (pos < off + count)
         f = _chunk_forward(chunk, px, py, t_run, done, valid)
         # rgb + expected-depth accumulation in one (4,K) x (NPIX,K)^T matmul
@@ -560,6 +569,10 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     assert rows.shape[0] == FEATS and m_pad % K == 0
+    # The forward streams FWD_LANES (= 2 binning chunks) per loop iteration
+    # when the spill margin allows: same math over wider lanes, half the
+    # DMA-wait/loop overhead.
+    lanes = FWD_LANES if m_pad % FWD_LANES == 0 else K
     chunk0, off, _ = _window_scalars(tile_start, tile_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -572,12 +585,12 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEATS, K), jnp.float32),
+            pltpu.VMEM((2, FEATS, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     color, t_final = pl.pallas_call(
-        functools.partial(_fwd_kernel, tiles_x, m_pad // K),
+        functools.partial(_fwd_kernel, tiles_x, -(-m_pad // lanes), lanes),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 4, NPIX), jnp.float32),

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PIXELS_PER_S = 1.6e7
 
 
-def main():
+def main(batch_cams: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -63,18 +63,40 @@ def main():
     cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap)
     gt = jnp.zeros((3, height, width), jnp.float32)
 
-    def loss_fn(xyz, scales, quats, opacity, sh, cam):
+    def loss_one(xyz, scales, quats, opacity, sh, cam):
         out = render(xyz, scales, quats, opacity, sh, cam, static, cfg)
         return photometric_loss(out.render, gt)
 
+    if batch_cams > 1:
+        # K views per step (train.py --batch_cams): mean loss over a camera
+        # batch, the view vmap maps the Pallas grid. pixels/s counts K*H*W.
+        import dataclasses
+
+        def loss_fn(xyz, scales, quats, opacity, sh, cams_k):
+            losses = jax.vmap(
+                lambda c: loss_one(xyz, scales, quats, opacity, sh, c))(
+                    cams_k)
+            return jnp.mean(losses)
+
+        cam_b = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * batch_cams), sc["cam"])
+        cam_b = dataclasses.replace(
+            cam_b, dt=cam_b.dt + 1e-3 * jnp.arange(batch_cams)[:, None])
+        args = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+                sc["sh_coeffs"], cam_b)
+    else:
+        loss_fn = loss_one
+        args = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+                sc["sh_coeffs"], sc["cam"])
+
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
-    args = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
-            sc["sh_coeffs"], sc["cam"])
 
     # Staged compiles: the axon compile service hits a pathological slow path
     # on cold monolithic fwd+bwd graphs; compiling the forward first warms
     # the service so the grad compile is incremental (see utils/cache.py).
-    fwd = jax.jit(lambda *a: render(*a, static, cfg).render)
+    fwd = jax.jit(lambda *a: render(
+        *a[:5], jax.tree_util.tree_map(lambda x: x[0], a[5])
+        if batch_cams > 1 else a[5], static, cfg).render)
     jax.block_until_ready(fwd(*args))
     out = grad_fn(*args)
     jax.block_until_ready(out)
@@ -86,7 +108,7 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
-    pixels_per_s = width * height / dt
+    pixels_per_s = batch_cams * width * height / dt
     print(json.dumps({
         "metric": "pixels_per_s_fwd_bwd",
         "value": round(pixels_per_s, 1),
@@ -96,4 +118,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(batch_cams=int(os.environ.get("BAGS_TPU_BENCH_BATCH", "1")))

@@ -414,3 +414,45 @@ def test_sharded_stress_realistic_shapes():
                                    gt, bg))(g, sc["cam"])
     assert int(aux["n_dropped"]) > 0, "tight budget should overflow"
     assert np.isfinite(float(loss_v))
+
+
+def test_sharded_trainer_batch_cams():
+    """--mesh + --batch_cams composes (VERDICT r2 weak #7): a 4-device
+    ShardedTrainer trains with K=2 views per step, loss finite, poses move."""
+    n_devices = 4
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    from bags_tpu.dist.trainer import ShardedTrainer
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.train.config import CalibConfig, TrainConfig
+
+    mesh = make_mesh(n_devices)
+    h = 16 * n_devices
+    w = 32
+    static = CameraStatic(width=w, height=h)
+    cap = 64 * n_devices
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1, 1, cap // 2),
+                    rng.uniform(-1, 1, cap // 2),
+                    rng.uniform(4, 8, cap // 2)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (cap // 2, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, cap, sh_degree=1)
+    cams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.8, 0.8)
+          for _ in range(3)])
+    cfg = TrainConfig(max_instances=1024 * n_devices, mesh=n_devices,
+                      calib=CalibConfig(opt_cam=True))
+    cfg.model.sh_degree = 1
+    cfg.opt.batch_cams = 2
+    cfg.opt.densify_from_iter = 10 ** 6
+    gt = jnp.stack([jnp.full((3, h, w), 0.2 * (i + 1)) for i in range(3)])
+    rcfg = RenderConfig(sh_degree=1, backend="jnp",
+                        max_instances=cfg.max_instances, max_per_tile=512)
+    tr = ShardedTrainer(g, alive, cams, static, cfg, scene_extent=10.0,
+                        gt_images=gt, rcfg=rcfg, mesh=mesh)
+    dq0 = np.asarray(tr.state.cams.dq).copy()
+    hist = tr.run(iterations=4, log_every=4)
+    assert np.isfinite(hist[-1][1])
+    assert np.abs(np.asarray(tr.state.cams.dq) - dq0).max() > 0

@@ -101,6 +101,14 @@ def main():
     report("order2 sort (m_aligned)", timed_chain(f_o2, None))
 
     # single-operand sort for scale reference
+    def f_wide(eps):
+        pr_w = __import__("dataclasses").replace(proj, x2d=proj.x2d + eps)
+        b = binning.bin_gaussians(pr_w, tiles_x, tiles_y, mi,
+                                  force_wide_keys=True)
+        return (b.rank_sorted, b.tile_start, b.tile_count, b.order2,
+                b.order2p)
+    report("bin_gaussians WIDE keys (all)", timed_chain(f_wide, None))
+
     def f_s1(eps):
         return jax.lax.sort(big_keys + (eps > 1e30).astype(jnp.uint32))
     report("sort keys only (m+pad)", timed_chain(f_s1, None))

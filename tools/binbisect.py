@@ -115,7 +115,7 @@ def main():
         n_ch = jnp.where(tile_count > 0, -(-(off_t + tile_count) // CHUNK), 0)
         ocs = jnp.cumsum(n_ch) - n_ch
         base = (ocs - chunk0) * CHUNK
-        c_out = padded_chunks(m + CHUNK, num_tiles)
+        c_out = padded_chunks(m + 2 * CHUNK, num_tiles)
         slots_m = slots
         base_slot = _fill_forward_heads(
             jnp.minimum(tile_start, m), base.astype(jnp.int32), m)
