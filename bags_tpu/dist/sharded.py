@@ -132,7 +132,7 @@ def _make_device_render(axis: str, static: CameraStatic, rcfg: RenderConfig,
 
         # 3. bin for the local slab: shift into the slab's pixel frame
         dev = jax.lax.axis_index(axis)
-        y0_px = (dev * tiles_y_local * binning.TILE).astype(jnp.float32)
+        y0_px = (dev * tiles_y_local * binning.TILE_H).astype(jnp.float32)
         x2d = full.x2d + probe2d[:, 0]
         y2d = full.y2d - y0_px + probe2d[:, 1]
         bins = binning.bin_gaussians(
@@ -161,7 +161,7 @@ def _make_device_render(axis: str, static: CameraStatic, rcfg: RenderConfig,
 
         slab = tiles.tiles_to_image(
             tile_img.color, tiles_x, tiles_y_local,
-            static.width, tiles_y_local * binning.TILE)
+            static.width, tiles_y_local * binning.TILE_H)
         return slab, full, bins, y0_px
 
     return render_slab

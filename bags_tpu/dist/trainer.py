@@ -19,7 +19,7 @@ single-GPU); this is the BASELINE.json north-star stack:
     `jax.distributed.initialize`) before constructing the trainer; the mesh
     then spans all processes' devices and every collective rides ICI/DCN.
 
-Image heights that don't divide into D * 16-pixel tile rows: the tile grid
+Image heights that don't divide into D * TILE_H-pixel tile rows: the tile grid
 is padded inside the sharded loss (projection keeps the true height so the
 camera framing is unchanged); the ground truth is zero-padded here purely
 for equal-slab sharding and the loss slices back to the true height.
@@ -36,7 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.camera import CameraStatic
 from ..raster import RenderConfig
-from ..raster.binning import TILE
+from ..raster.binning import TILE_H
 from ..train.config import TrainConfig
 from ..train.loop import Trainer
 from .mesh import make_mesh
@@ -73,7 +73,7 @@ class ShardedTrainer(Trainer):
         self.mesh = mesh or make_mesh(n_devices)
         d = self.mesh.devices.size
         from .mesh import padded_height
-        self.pad_height = padded_height(static.height, d, TILE)
+        self.pad_height = padded_height(static.height, d, TILE_H)
         super().__init__(g, alive, cams, static, cfg, scene_extent,
                          gt_images, bg=bg, rcfg=rcfg, seed=seed)
         self._shard_state()

@@ -1,8 +1,8 @@
 """Tile binning: duplicate-expand Gaussian->tile instances under static shapes.
 
 The reference CUDA pipeline (SURVEY.md §2.3) duplicates each Gaussian ID once
-per overlapped 16x16 tile, radix-sorts by (tileID | depth), and extracts
-per-tile ranges. On TPU, dynamic duplication is impossible under XLA's static
+per overlapped tile (16x16 there; 16x8 here — see TILE_W/TILE_H), radix-sorts
+by (tileID | depth), and extracts per-tile ranges. On TPU, dynamic duplication is impossible under XLA's static
 shapes; a fixed instance budget is expanded instead.
 
 TPU-first algorithm (v3 — everything rides XLA's fast u32 radix sort; no wide
@@ -15,8 +15,8 @@ keys, no per-tile cumsum grids, and — new in v3 — no padding slots at all):
      order (segment-head scatter + cummax fill-forward): slot -> (rank,
      covered tile).  Capacity overflow drops whole Gaussians from the FAR end
      (the least visible ones), reported via `n_dropped`.
-  3. ONE stable single-u32-key sort by (tile:12 | rank:20). Stability and the
-     key layout do the rest: within a tile, slots land in rank order (= depth
+  3. ONE stable single-u32-key sort by (tile | rank) with an adaptive bit
+     split. Stability and the key layout do the rest: within a tile, slots land in rank order (= depth
      order: the CUDA (tile|depth) radix sort, for free).
   4. Per-tile ranges come from ONE `searchsorted` of the tile boundaries over
      the sorted keys — tile starts are NOT chunk-aligned. The Pallas kernels
@@ -44,7 +44,14 @@ import jax.numpy as jnp
 
 from ..core.projection import Projected
 
-TILE = 16   # pixels per tile side, matching the reference's 16x16 tiles
+# Tile shape (parameterized; the output is tile-shape-invariant — every
+# pixel composites all covering Gaussians in global depth order). 16x16
+# measured BEST on chip: 16x8 halves the pixel-x-instance pair work but
+# grows the chunk count ~60% (1.35x instance duplication + per-tile window
+# rounding), and the per-chunk fixed costs (DMA wait, scan-matmul
+# dispatches, loop step) dominate — 13.3 -> 8.3 Mpix/s on the bench.
+TILE_W = 16
+TILE_H = 16
 CHUNK = 128  # Pallas chunk size (TPU lane width); also the spill margin
 
 
@@ -85,7 +92,7 @@ class TileBins(NamedTuple):
 
 
 def tile_grid(width: int, height: int) -> tuple[int, int]:
-    return -(-width // TILE), -(-height // TILE)
+    return -(-width // TILE_W), -(-height // TILE_H)
 
 
 def compute_tile_rects(x2d: jnp.ndarray, y2d: jnp.ndarray,
@@ -94,15 +101,17 @@ def compute_tile_rects(x2d: jnp.ndarray, y2d: jnp.ndarray,
     """Per-Gaussian covered tile rectangle, CUDA `getRect` semantics with
     PER-AXIS extents (the opacity-aware ellipse AABB from projection —
     exact-parity cull of tiles no pixel of which can pass alpha >= 1/255):
-    rect_min = clamp(floor((p - r) / TILE)), rect_max (exclusive) =
-    clamp(floor((p + r) / TILE) + 1) — clamped to the grid."""
+    rect_min = clamp(floor((p - r) / TILE_{W,H})), rect_max (exclusive) =
+    clamp(floor((p + r) / TILE_{W,H}) + 1) — clamped to the grid."""
     rx = radius_x.astype(x2d.dtype)
     ry = radius_y.astype(y2d.dtype)
-    x0 = jnp.clip(jnp.floor((x2d - rx) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y2d - ry) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x2d + rx) / TILE) + 1, 0,
+    x0 = jnp.clip(jnp.floor((x2d - rx) / TILE_W), 0,
                   tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y2d + ry) / TILE) + 1, 0,
+    y0 = jnp.clip(jnp.floor((y2d - ry) / TILE_H), 0,
+                  tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x2d + rx) / TILE_W) + 1, 0,
+                  tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y2d + ry) / TILE_H) + 1, 0,
                   tiles_y).astype(jnp.int32)
     alive = (radius_x > 0) & (radius_y > 0)
     nx = jnp.where(alive, x1 - x0, 0)
@@ -131,10 +140,13 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     n = proj.x2d.shape[0]
     num_tiles = tiles_x * tiles_y
     m = max_instances
-    # u32 (tile:12|rank:20) packed key covers <4095 tiles x <1M Gaussians
-    # (a 4k-wide image and Eyeful-scale populations); beyond that, fall back
-    # to a stable two-operand sort with the tile id as the key.
-    packed_key = num_tiles < 4095 and n < (1 << 20) and not force_wide_keys
+    # u32 (tile | rank) packed key with an ADAPTIVE bit split: the tile
+    # field gets just enough bits for num_tiles (incl. the sentinel), the
+    # rank field the rest. At 16x8 tiles an 800x800 image needs 13 tile
+    # bits, leaving 19 for < 524k Gaussians; beyond the joint budget, fall
+    # back to a stable two-operand sort with the tile id as the key.
+    rank_bits = 32 - int(num_tiles).bit_length()
+    packed_key = n < (1 << rank_bits) and not force_wide_keys
     rx = (proj.rect_rx if getattr(proj, "rect_rx", None) is not None
           else proj.radius)
     ry = (proj.rect_ry if getattr(proj, "rect_ry", None) is not None
@@ -227,11 +239,12 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     # packed key carries rank in the low bits; the two-operand fallback is a
     # stable sort of the rank payload) ---------------------------------------
     if packed_key:
-        packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
+        packed = ((tile_id.astype(jnp.uint32) << rank_bits)
+                  | rank.astype(jnp.uint32))
         packed = jax.lax.sort(packed)
-        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+        rank_sorted = (packed & ((1 << rank_bits) - 1)).astype(jnp.int32)
         tile_keys = packed
-        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20
+        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
     else:
         tile_keys, rank_sorted = jax.lax.sort(
             (tile_id.astype(jnp.uint32), rank), num_keys=1,

@@ -9,8 +9,8 @@ so the reference's ∂viewmatrix/∂projmatrix/∂campos CUDA path becomes plain
 JAX autodiff through `project_gaussians`.
 
 TPU-first design decisions (NOT a CUDA translation):
-  * One grid program per 16x16 tile. Layout: GAUSSIANS ON LANES, PIXELS ON
-    SUBLANES. Instance rows stream as feature-major (FEATS, K=128) slabs
+  * One grid program per TILE_W x TILE_H tile (16x16, measured best —
+    see binning.py). Layout: GAUSSIANS ON LANES, PIXELS ON SUBLANES. Instance rows stream as feature-major (FEATS, K=128) slabs
     (contiguous 512B-per-row DMA, lane dim 128-aligned); each feature slice
     chunk[f:f+1, :] is natively a (1, K) lane vector and every per-pixel
     carry is a (NPIX, 1) sublane vector — zero relayouts in the inner loop,
@@ -47,10 +47,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, TILE, padded_chunks
+from .binning import CHUNK, TILE_H, TILE_W, padded_chunks
 from .tiles import ALPHA_MAX, ALPHA_MIN, T_EPS, TileImage
 
-NPIX = TILE * TILE     # 256 pixels per tile
+NPIX = TILE_W * TILE_H  # pixels per tile
 K = CHUNK              # Gaussians per chunk == lane width (Mosaic DMA alignment)
 FEATS = 16             # packet rows (10 used, padded for alignment)
 # Forward streaming width (env override for A/B perf runs; 256 = 2 binning
@@ -182,11 +182,11 @@ def _chunk_forward(chunk, px, py, t_run, done, valid):
 
 def _pixel_coords(tiles_x: int):
     t = pl.program_id(0)
-    tx = ((t % tiles_x) * TILE).astype(jnp.float32)
-    ty = ((t // tiles_x) * TILE).astype(jnp.float32)
+    tx = ((t % tiles_x) * TILE_W).astype(jnp.float32)
+    ty = ((t // tiles_x) * TILE_H).astype(jnp.float32)
     off = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
-    px = tx + (off % TILE).astype(jnp.float32)
-    py = ty + (off // TILE).astype(jnp.float32)
+    px = tx + (off % TILE_W).astype(jnp.float32)
+    py = ty + (off // TILE_W).astype(jnp.float32)
     return px, py
 
 
@@ -375,8 +375,8 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     # d_power give f32-exact moments (same precision model as the forward's
     # prefix scan). Built once per program, hoisted out of the chunk loop.
     offb = jax.lax.broadcasted_iota(jnp.int32, (8, NPIX), 1)
-    qx = (offb % TILE).astype(jnp.float32) - (TILE - 1) / 2.0
-    qy = (offb // TILE).astype(jnp.float32) - (TILE - 1) / 2.0
+    qx = (offb % TILE_W).astype(jnp.float32) - (TILE_W - 1) / 2.0
+    qy = (offb // TILE_W).astype(jnp.float32) - (TILE_H - 1) / 2.0
     rowi = jax.lax.broadcasted_iota(jnp.int32, (8, NPIX), 0)
     basis = jnp.where(
         rowi == 0, 1.0,
@@ -389,8 +389,8 @@ def _bwd_kernel(tiles_x: int, max_chunks: int,
     basis = basis.astype(jnp.bfloat16)
     # Tile-centered offset of the Gaussian means (for the moment epilogue).
     t_id = pl.program_id(0)
-    cx = ((t_id % tiles_x) * TILE).astype(jnp.float32) + (TILE - 1) / 2.0
-    cy = ((t_id // tiles_x) * TILE).astype(jnp.float32) + (TILE - 1) / 2.0
+    cx = ((t_id % tiles_x) * TILE_W).astype(jnp.float32) + (TILE_W - 1) / 2.0
+    cy = ((t_id // tiles_x) * TILE_H).astype(jnp.float32) + (TILE_H - 1) / 2.0
 
     # Early termination mirrors the forward: once every pixel is saturated
     # the remaining chunks contribute exactly zero gradient, so the compute

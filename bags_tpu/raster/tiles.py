@@ -18,12 +18,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .binning import TILE
+from .binning import TILE_H, TILE_W
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-NPIX = TILE * TILE
+NPIX = TILE_W * TILE_H
 
 
 class TileImage(NamedTuple):
@@ -38,10 +38,10 @@ def tile_pixel_coords(tiles_x: int, tiles_y: int) -> tuple[jnp.ndarray, jnp.ndar
     tx = (t % tiles_x).astype(jnp.float32)
     ty = (t // tiles_x).astype(jnp.float32)
     off = jnp.arange(NPIX, dtype=jnp.float32)
-    ox = off % TILE
-    oy = off // TILE
-    px = tx[:, None] * TILE + ox[None, :]
-    py = ty[:, None] * TILE + oy[None, :]
+    ox = off % TILE_W
+    oy = off // TILE_W
+    px = tx[:, None] * TILE_W + ox[None, :]
+    py = ty[:, None] * TILE_H + oy[None, :]
     return px, py
 
 
@@ -130,15 +130,16 @@ def composite_tiles_jnp(
 def tiles_to_image(tile_color: jnp.ndarray, tiles_x: int, tiles_y: int,
                    width: int, height: int) -> jnp.ndarray:
     """(T, NPIX, 3) -> (3, H, W), cropping tile padding."""
-    img = tile_color.reshape(tiles_y, tiles_x, TILE, TILE, 3)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(3, tiles_y * TILE, tiles_x * TILE)
+    img = tile_color.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(3, tiles_y * TILE_H,
+                                               tiles_x * TILE_W)
     return img[:, :height, :width]
 
 
 def image_to_tiles(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
     """(3, H, W) -> (T, NPIX, 3), zero-padding to tile multiples."""
     c, h, w = img.shape
-    ph, pw = tiles_y * TILE - h, tiles_x * TILE - w
+    ph, pw = tiles_y * TILE_H - h, tiles_x * TILE_W - w
     img = jnp.pad(img, ((0, 0), (0, ph), (0, pw)))
-    img = img.reshape(c, tiles_y, TILE, tiles_x, TILE)
+    img = img.reshape(c, tiles_y, TILE_H, tiles_x, TILE_W)
     return img.transpose(1, 3, 2, 4, 0).reshape(tiles_y * tiles_x, NPIX, c)

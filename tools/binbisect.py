@@ -98,12 +98,14 @@ def main():
         rank = jnp.where(valid, g_rank, n)
         if upto == 4:
             return tile_id, rank
-        packed = (tile_id.astype(jnp.uint32) << 20) | rank.astype(jnp.uint32)
+        rank_bits = 32 - int(num_tiles).bit_length()
+        packed = ((tile_id.astype(jnp.uint32) << rank_bits)
+                  | rank.astype(jnp.uint32))
         packed = jax.lax.sort(packed)
-        rank_sorted = (packed & 0xFFFFF).astype(jnp.int32)
+        rank_sorted = (packed & ((1 << rank_bits) - 1)).astype(jnp.int32)
         if upto == 5:
             return (rank_sorted,)
-        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 20
+        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
         tbounds = jnp.searchsorted(packed, bound_q,
                                    side="left").astype(jnp.int32)
         tile_start = tbounds[:num_tiles]
