@@ -19,10 +19,12 @@ numbers; its fisheye step would also run well below its vanilla rate —
 the warp adds a full-image gather + iResNet on top of every step).
 
 Roofline note: the fisheye step adds, on top of the vanilla render cost,
-(a) a (H*W) bilinear gather with 4 taps (HBM-bandwidth bound, ~8 reads +
-1 write per pixel) and (b) an iResNet forward on a (H/8)*(W/8) control
-grid (MXU, negligible). The cubemap step is ~5x the vanilla render cost
-plus 5 warps; its ceiling is 5x the vanilla step time.
+(a) a (H*W) bilinear warp with 4 gather taps per pixel — on TPU this is
+GATHER-OP bound, not HBM bound: XLA's gather costs ~8 ns/element, so the
+4 taps (+ their scatter-add transpose in the backward) dominate the
+measured step; and (b) an iResNet forward + fixed-point inverse on a
+(H/8)*(W/8) control grid (MXU, minor). The cubemap step is ~5x the
+vanilla render cost plus 5 warps; its ceiling is 5x the vanilla step.
 """
 
 import argparse

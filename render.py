@@ -146,6 +146,16 @@ def main(argv=None):
                       align=align, extra_color=extra).render
 
     test_cams = scene.test_cams
+    opt_cam_path = os.path.join(args.model_path, "opt_test_cams.npz")
+    if args.optim_test_pose_iter > 0 and os.path.exists(opt_cam_path):
+        # resume previously optimized test poses (reference render.py:215
+        # loads opt_test_cam.pt when present)
+        saved = np.load(opt_cam_path)
+        test_cams = dataclasses.replace(
+            test_cams, dq=jnp.asarray(saved["dq"]),
+            dt=jnp.asarray(saved["dt"]))
+        print(f"loaded optimized test poses from {opt_cam_path}")
+        args.optim_test_pose_iter = 0
     if args.optim_test_pose_iter > 0:
         # Test-time pose optimization (render.py:214-283): photometric,
         # only dq/dt of each test camera move.
@@ -182,6 +192,10 @@ def main(argv=None):
             new_dt.append(dt)
         test_cams = dataclasses.replace(
             test_cams, dq=jnp.stack(new_dq), dt=jnp.stack(new_dt))
+        # persist like the reference's opt_test_cam.pt (render.py:283)
+        np.savez(opt_cam_path, dq=np.asarray(test_cams.dq),
+                 dt=np.asarray(test_cams.dt))
+        print(f"saved optimized test poses to {opt_cam_path}")
 
     def fisheye_pair(i, cams, split):
         """Render + lens-warp one view against the fisheye GT (reference

@@ -221,6 +221,37 @@ def test_train_cli_mesh_calibrated_modes(tmp_path):
     assert os.path.exists(os.path.join(out, "chkpnt2.npz"))
 
 
+def test_render_cli_test_time_pose_opt_persists(tmp_path, capsys):
+    """--optim_test_pose_iter optimizes the test-camera poses
+    photometrically and persists them (reference render.py:214-283 +
+    opt_test_cam.pt); a second invocation reloads instead of re-opting."""
+    import numpy as np
+    import render as render_cli
+    import train as train_cli
+
+    root = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(root)
+    _write_colmap_scene(root, n_cams=9, n_pts=60,
+                        rng=np.random.default_rng(17))
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "8", "--sh_degree", "0",
+        "--backend", "jnp", "--max_instances", "4096", "--cap_max", "128",
+        "--densify_from_iter", "100000", "--eval",
+        "--test_iterations", "-1", "--save_iterations", "8",
+        "--checkpoint_iterations", "8", "--quiet"])
+    render_cli.main(["-m", out, "-s", root, "--backend", "jnp",
+                     "--skip_train", "--eval",
+                     "--optim_test_pose_iter", "3"])
+    outp = capsys.readouterr().out
+    assert "test-time pose optimization" in outp
+    assert os.path.exists(os.path.join(out, "opt_test_cams.npz"))
+    render_cli.main(["-m", out, "-s", root, "--backend", "jnp",
+                     "--skip_train", "--eval",
+                     "--optim_test_pose_iter", "3"])
+    assert "loaded optimized test poses" in capsys.readouterr().out
+
+
 def test_trajectory_cli_uses_checkpoint(tmp_path, capsys):
     """render_trajectory.py restores chkpnt*.npz: paths anchor on the
     OPTIMIZED cameras, not the raw Scene poses (reference trajectory scripts
