@@ -182,14 +182,21 @@ def _load_legacy(path: str) -> dict:
     return _materialize(obj)
 
 
+def load_torch_object(path: str):
+    """Load ANY plain torch .pth pickle (nested dicts/lists/tuples of
+    tensors and scalars) as numpy-backed Python structures, without torch.
+    Supports zip (>=1.6) and legacy formats. Classes beyond what a plain
+    checkpoint needs are refused (restricted unpickler)."""
+    if zipfile.is_zipfile(path):
+        return _load_zip(path)
+    return _load_legacy(path)
+
+
 def load_torch_pth(path: str) -> dict:
     """Load a torch .pth checkpoint (state dict of tensors) as a flat dict
     of numpy arrays, without torch. Supports zip (>=1.6) and legacy
     formats."""
-    if zipfile.is_zipfile(path):
-        obj = _load_zip(path)
-    else:
-        obj = _load_legacy(path)
+    obj = load_torch_object(path)
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: expected a state dict, got {type(obj)}")
     return {str(k): v for k, v in obj.items() if isinstance(v, np.ndarray)}

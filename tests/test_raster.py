@@ -210,3 +210,31 @@ def test_binning_wide_key_fallback_matches_packed():
                               force_wide_keys=True)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_binning_adaptive_packing_beyond_4095_tiles():
+    """Images beyond 4095 tiles now keep the packed single-u32-key sort
+    (adaptive tile/rank bit split) — bins must match the wide-key oracle.
+    1088x1088 -> 68x68 = 4624 tiles (13 tile bits, 19 rank bits)."""
+    import jax
+    import numpy as np
+    from bags_tpu.core.projection import project_gaussians
+    from bags_tpu.raster import binning
+    from bags_tpu.utils.testing import make_toy_scene
+
+    wh = 1088
+    sc = make_toy_scene(n=800, width=wh, height=wh, sh_degree=0, seed=6,
+                        scale_range=(0.01, 0.12))
+    tiles_x, tiles_y = binning.tile_grid(wh, wh)
+    assert tiles_x * tiles_y > 4095
+    proj = jax.jit(lambda *a: project_gaussians(*a, sc["static"], 0))(
+        sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
+        sc["sh_coeffs"], sc["cam"])
+    a = binning.bin_gaussians(proj, tiles_x, tiles_y, 8192)
+    b = binning.bin_gaussians(proj, tiles_x, tiles_y, 8192,
+                              force_wide_keys=True)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # the packed path must actually be taken at this size for a small N
+    rank_bits = 32 - (tiles_x * tiles_y).bit_length()
+    assert 800 < (1 << rank_bits)

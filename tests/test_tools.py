@@ -107,3 +107,49 @@ def test_pose_plot_and_plotly(tmp_path):
     fig = vis.poses_to_plotly(cams, cams)
     assert len(fig["data"]) == 2
     assert len(fig["data"][0]["x"]) > 0
+
+
+def test_import_reference_checkpoint(tmp_path):
+    """tools/import_reference_checkpoint.py parses a reference-layout
+    chkpnt.pth (torch-written, the real serialization) without torch at
+    load time, and the resulting PLY round-trips into a renderable model."""
+    import torch
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bags_tpu.model.gaussians import load_ply
+    from tools.import_reference_checkpoint import main as import_main
+
+    rng = np.random.default_rng(3)
+    n = 40
+    capture = (
+        2,                                                     # sh degree
+        torch.tensor(rng.normal(size=(n, 3)).astype(np.float32)),
+        torch.tensor(rng.normal(size=(n, 1, 3)).astype(np.float32)),
+        torch.tensor(rng.normal(0, 0.01, (n, 15, 3)).astype(np.float32)),
+        torch.tensor(rng.normal(-4, 1, (n, 3)).astype(np.float32)),
+        torch.tensor(rng.normal(size=(n, 4)).astype(np.float32)),
+        torch.tensor(rng.normal(size=(n, 1)).astype(np.float32)),
+        torch.zeros(n),                                        # max_radii2D
+        torch.zeros(n, 1),                                     # grad accum
+        torch.zeros(n, 1),                                     # denom
+        {"state": {0: {"step": torch.tensor(10.0),
+                       "exp_avg": torch.zeros(n, 3),
+                       "exp_avg_sq": torch.zeros(n, 3)}},
+         "param_groups": [{"lr": 1e-3, "params": [0], "name": "xyz"}]},
+        4.2,                                                   # lr scale
+    )
+    pth = str(tmp_path / "chkpnt123.pth")
+    torch.save((capture, 123), pth)
+
+    out = str(tmp_path / "imported.ply")
+    import_main(["--pth", pth, "--out", out])
+    g, alive = load_ply(out)
+    assert int(np.asarray(alive).sum()) == n
+    np.testing.assert_allclose(np.asarray(g.xyz),
+                               capture[1].numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.sh_rest),
+                               capture[3].numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.opacity_raw),
+                               capture[6].numpy().reshape(-1), atol=1e-6)
