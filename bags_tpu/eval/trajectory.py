@@ -84,6 +84,41 @@ def orbit_path(center: np.ndarray, radius: float, height: float,
     return out
 
 
+def wander_path(R_w2c: np.ndarray, t_w2c: np.ndarray, fovy: float,
+                image_height: int, n_frames: int = 60,
+                max_disp: float = 5000.0
+                ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """In-place elliptical "wander" around ONE anchor view
+    (`render_wander_path`, utils/pose_utils-style, used by the
+    render_outside_*/render_sequential_* trajectory scripts): translation
+    amplitude max_disp/focal, x full / y,z one-third, rotation fixed."""
+    focal = image_height / (2.0 * np.tan(0.5 * fovy))
+    max_trans = max_disp / focal
+    # reference pose in its OpenGL-ish convention (y/z columns flipped)
+    R = np.array(R_w2c, np.float64)
+    R[:, 1] *= -1.0
+    R[:, 2] *= -1.0
+    T = -np.asarray(t_w2c, np.float64).reshape(3, 1)
+    ref = np.concatenate([np.concatenate([R, T], axis=1),
+                          np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+    out = []
+    for i in range(n_frames):
+        ang = 2.0 * np.pi * i / n_frames
+        trans = np.array([max_trans * np.sin(ang),
+                          max_trans * np.cos(ang) / 3.0,
+                          max_trans * np.cos(ang) / 3.0])
+        i_pose = np.eye(4)
+        i_pose[:3, 3] = trans
+        render_pose = ref @ np.linalg.inv(i_pose)
+        # back to the renderer's convention
+        Rw = render_pose[:3, :3].copy()
+        Rw[:, 1] *= -1.0
+        Rw[:, 2] *= -1.0
+        tw = -render_pose[:3, 3]
+        out.append((Rw, tw))
+    return out
+
+
 def interpolate_path(cams: CameraParams, n_frames_per_segment: int = 10
                      ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Smooth keyframe interpolation through the training cameras in order

@@ -27,7 +27,8 @@ def main(argv=None):
     p.add_argument("--model_path", "-m", required=True)
     p.add_argument("--source_path", "-s", required=True)
     p.add_argument("--iteration", type=int, default=-1)
-    p.add_argument("--mode", choices=["spiral", "orbit", "sequential"],
+    p.add_argument("--mode",
+                   choices=["spiral", "orbit", "sequential", "wander"],
                    default="spiral")
     p.add_argument("--n_frames", type=int, default=120)
     p.add_argument("--sh_degree", type=int, default=3)
@@ -136,6 +137,11 @@ def main(argv=None):
         center = c2ws[:, :3, 3].mean(axis=0)
         rad = np.linalg.norm(c2ws[:, :3, 3] - center, axis=1).mean()
         path = trajectory.orbit_path(center, rad, 0.0, args.n_frames)
+    elif args.mode == "wander":
+        # in-place elliptical wander around the first (optimized) view
+        # (utils/pose_utils.render_wander_path)
+        path = trajectory.wander_path(R[0], t[0], path_fovy,
+                                      static.height, args.n_frames)
     else:
         path = trajectory.interpolate_path(
             anchor_cams, max(args.n_frames // max(n_anchor - 1, 1), 1))

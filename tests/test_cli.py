@@ -279,6 +279,11 @@ def test_trajectory_cli_uses_checkpoint(tmp_path, capsys):
     assert "restored full training state" in outp
     frames = [f for f in os.listdir(tdir) if f.endswith(".png")]
     assert len(frames) >= 3
+    # the in-place wander mode (reference render_wander_path) also renders
+    wdir = str(tmp_path / "wander")
+    traj_cli.main(["-m", out, "-s", root, "--mode", "wander",
+                   "--n_frames", "2", "--backend", "jnp", "--out", wdir])
+    assert len([f for f in os.listdir(wdir) if f.endswith(".png")]) == 2
 
 
 def test_trajectory_cli_fisheye_applies_lens_warp(tmp_path, capsys):

@@ -126,3 +126,27 @@ def test_ssim_matches_torch_reference(rng):
     ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
     ref = torch_ssim(a, b)
     assert abs(ours - ref) < 2e-5, (ours, ref)
+
+
+def test_wander_path_orbits_anchor(rng):
+    """wander_path (reference render_wander_path): n_frames poses whose
+    centers ellipse around the anchor with amplitude max_disp/focal, all
+    valid rotations."""
+    from bags_tpu.eval.trajectory import wander_path
+
+    R0 = np.asarray(so3_exp(jnp.array([0.05, -0.1, 0.2])))
+    t0 = np.array([0.3, -0.2, 1.5])
+    fovy, h = 0.9, 480
+    path = wander_path(R0, t0, fovy, h, n_frames=16, max_disp=5000.0)
+    assert len(path) == 16
+    focal = h / (2 * np.tan(fovy / 2))
+    max_trans = 5000.0 / focal
+    c_anchor = -R0.T @ t0
+    for R, t in path:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert abs(np.linalg.det(R) - 1) < 1e-6
+        c = -R.T @ t
+        assert np.linalg.norm(c - c_anchor) <= max_trans * 1.2 + 1e-9
+    # the path actually moves
+    cs = np.stack([-R.T @ t for R, t in path])
+    assert np.ptp(cs, axis=0).max() > 0.1 * max_trans
