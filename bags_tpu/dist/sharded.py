@@ -36,7 +36,7 @@ from ..core.projection import project_gaussians
 from ..model.gaussians import Gaussians
 from ..raster import RenderConfig
 from ..raster import binning, tiles
-from ..raster.render import FEATS, F_ACTIVE, gather_rows
+from ..raster.render import gather_rows
 from ..train.losses import _blur, _gaussian_window
 
 
