@@ -1,7 +1,7 @@
 """Tile binning: duplicate-expand Gaussian->tile instances under static shapes.
 
 The reference CUDA pipeline (SURVEY.md §2.3) duplicates each Gaussian ID once
-per overlapped tile (16x16 there; 16x8 here — see TILE_W/TILE_H), radix-sorts
+per overlapped tile (16x16, same here — see TILE_W/TILE_H), radix-sorts
 by (tileID | depth), and extracts per-tile ranges. On TPU, dynamic duplication is impossible under XLA's static
 shapes; a fixed instance budget is expanded instead.
 
@@ -142,9 +142,10 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     m = max_instances
     # u32 (tile | rank) packed key with an ADAPTIVE bit split: the tile
     # field gets just enough bits for num_tiles (incl. the sentinel), the
-    # rank field the rest. At 16x8 tiles an 800x800 image needs 13 tile
-    # bits, leaving 19 for < 524k Gaussians; beyond the joint budget, fall
-    # back to a stable two-operand sort with the tile id as the key.
+    # rank field the rest. At 16x16 tiles an 800x800 image has 2500 tiles
+    # -> 12 tile bits, leaving 20 for < 1,048,576 Gaussians; beyond the
+    # joint budget, fall back to a stable two-operand sort with the tile id
+    # as the key.
     rank_bits = 32 - int(num_tiles).bit_length()
     packed_key = n < (1 << rank_bits) and not force_wide_keys
     rx = (proj.rect_rx if getattr(proj, "rect_rx", None) is not None

@@ -60,6 +60,18 @@ class RenderConfig:
     max_per_tile: int = 4096     # jnp backend chunk cap
     scale_modifier: float = 1.0
     sort_by_distance: bool = False  # fork's cubemap variant (README.md:126)
+    # "exact": CUDA-parity f32 compositing via 3x-bf16-split MXU passes.
+    # "fast": single-pass bf16 MXU scans/reductions with f32 accumulation
+    # (<= 2^-9 operand rounding; quality delta quantified in
+    # tests/test_precision.py + README). Pallas backend only; the jnp
+    # fallback always composites exactly.
+    precision: str = "exact"     # "exact" | "fast"
+
+    def __post_init__(self):
+        if self.precision not in ("exact", "fast"):
+            raise ValueError(
+                f"RenderConfig.precision must be 'exact' or 'fast', "
+                f"got {self.precision!r}")
 
 
 class RenderOutput(NamedTuple):
@@ -194,23 +206,23 @@ def gather_rows(table: jnp.ndarray, abs_probe, bins: TileBins) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fused_fwd_impl(table, bins, tiles_x, tiles_y):
+def _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast):
     from .pallas_raster import _composite_fwd_call
 
     rows = _take_rows(table, bins)
     color, t_final = _composite_fwd_call(
-        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y)
+        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y, fast=fast)
     return color, t_final, rows
 
 
-def _fused_bwd_impl(bins, tiles_x, tiles_y, rows, color, t_final, cts,
+def _fused_bwd_impl(bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
                     with_abs: bool):
     from .pallas_raster import composite_bwd_padded
 
     g_color, g_t = cts
     d_pad = composite_bwd_padded(
         rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y,
-        g_color, g_t, color, t_final)
+        g_color, g_t, color, t_final, fast=fast)
     grouped = jnp.take(d_pad[:F_ACTIVE], bins.order2p, axis=1,
                        mode="fill", fill_value=0.0)
     if with_abs:
@@ -227,42 +239,46 @@ def _fused_bwd_impl(bins, tiles_x, tiles_y, rows, color, t_final, cts,
     return d_table, d_absp, zeros_bins
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_composite_plain(table, bins, tiles_x, tiles_y):
-    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_composite_plain(table, bins, tiles_x, tiles_y, fast):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast)
     return color, t_final
 
 
-def _fused_plain_fwd(table, bins, tiles_x, tiles_y):
-    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+def _fused_plain_fwd(table, bins, tiles_x, tiles_y, fast):
+    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
+                                           fast)
     return (color, t_final), (bins, rows, color, t_final)
 
 
-def _fused_plain_bwd(tiles_x, tiles_y, res, cts):
+def _fused_plain_bwd(tiles_x, tiles_y, fast, res, cts):
     bins, rows, color, t_final = res
     d_table, _, zeros_bins = _fused_bwd_impl(
-        bins, tiles_x, tiles_y, rows, color, t_final, cts, with_abs=False)
+        bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
+        with_abs=False)
     return d_table, zeros_bins
 
 
 _fused_composite_plain.defvjp(_fused_plain_fwd, _fused_plain_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_composite_abs(table, abs_probe, bins, tiles_x, tiles_y):
-    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_composite_abs(table, abs_probe, bins, tiles_x, tiles_y, fast):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast)
     return color, t_final
 
 
-def _fused_abs_fwd(table, abs_probe, bins, tiles_x, tiles_y):
-    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y)
+def _fused_abs_fwd(table, abs_probe, bins, tiles_x, tiles_y, fast):
+    color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
+                                           fast)
     return (color, t_final), (bins, rows, color, t_final)
 
 
-def _fused_abs_bwd(tiles_x, tiles_y, res, cts):
+def _fused_abs_bwd(tiles_x, tiles_y, fast, res, cts):
     bins, rows, color, t_final = res
     d_table, d_absp, zeros_bins = _fused_bwd_impl(
-        bins, tiles_x, tiles_y, rows, color, t_final, cts, with_abs=True)
+        bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
+        with_abs=True)
     return d_table, d_absp, zeros_bins
 
 
@@ -270,13 +286,15 @@ _fused_composite_abs.defvjp(_fused_abs_fwd, _fused_abs_bwd)
 
 
 def fused_composite_pallas(table, abs_probe, bins: TileBins,
-                           tiles_x: int, tiles_y: int, bg) -> tiles.TileImage:
+                           tiles_x: int, tiles_y: int, bg,
+                           fast: bool = False) -> tiles.TileImage:
     """Gather + Pallas composite under ONE custom VJP (see block comment)."""
     if abs_probe is None:
-        out, t_final = _fused_composite_plain(table, bins, tiles_x, tiles_y)
+        out, t_final = _fused_composite_plain(table, bins, tiles_x, tiles_y,
+                                              fast)
     else:
         out, t_final = _fused_composite_abs(table, abs_probe, bins,
-                                            tiles_x, tiles_y)
+                                            tiles_x, tiles_y, fast)
     out = jnp.transpose(out, (0, 2, 1))                # (T, NPIX, 4)
     color = out[..., :3] + t_final[..., None] * bg[None, None, :]
     return tiles.TileImage(color=color, t_final=t_final, depth=out[..., 3])
@@ -337,7 +355,8 @@ def render(
         # Fused gather + composite: one custom VJP, padded-layout backward
         # (abs_probe None — eval/bench — selects the 10-row reduction).
         tile_img = fused_composite_pallas(table, abs_probe, bins,
-                                          tiles_x, tiles_y, bg)
+                                          tiles_x, tiles_y, bg,
+                                          fast=(cfg.precision == "fast"))
     else:
         rows = gather_rows(table, abs_probe, bins)   # (FEATS, M + CHUNK)
         tile_img = tiles.composite_tiles_jnp(

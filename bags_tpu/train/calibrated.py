@@ -175,12 +175,17 @@ def init_calib_state(base: TrainState, cfg: TrainConfig,
 
 def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
-                            opt_lens: bool, use_vignetting: bool):
+                            opt_lens: bool, use_vignetting: bool,
+                            spec_tx=None):
     static = setup.render_static
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
     lam = cfg.opt.lambda_dssim
     apply2gt = cfg.calib.apply2gt
     use_mask = not cfg.calib.no_distortion_mask
+    # --hybrid: the specular ASG color rides the extended-FoV render exactly
+    # like the vanilla step's (the reference threads mlp_color through the
+    # fisheye render at train.py:250 and render_cubemap at train.py:235).
+    hybrid = cfg.calib.hybrid
 
     @jax.jit
     def step(state: CalibState, fish_gt: jnp.ndarray, p_view: jnp.ndarray,
@@ -191,11 +196,16 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
         probe = jnp.zeros((n_cap, 2), jnp.float32)
         absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig, shift):
+        def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig, shift,
+                    spec):
+            extra = None
+            if hybrid:
+                from ..calib.specular import specular_extra_color
+                extra = specular_extra_color(spec, g.xyz, g.asg, cam, align)
             out = render(
                 g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
                 g.sh_coeffs(), cam, static, rcfg, bg=bg, align=align,
-                probe2d=probe2d, abs_probe=abs_probe,
+                probe2d=probe2d, abs_probe=abs_probe, extra_color=extra,
                 shift_factors=shift if cfg.calib.opt_shift else None)
             proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
                                     1.0 / jnp.tan(cam.fovy * 0.5)])
@@ -224,17 +234,24 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             return loss, (out, image)
 
 
+        argnums = (0, 1, 2, 3, 4, 5, 6, 7) + ((8,) if hybrid else ())
         (loss, (out, image)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7), has_aux=True)(
+            loss_fn, argnums=argnums, has_aux=True)(
                 b.g, cam_i, b.align, probe, absp, state.lens, state.vig,
-                state.shift)
+                state.shift, b.spec)
         (g_grads, cam_grads, align_grads, signed_stat, abs_stat, lens_grads,
-         vig_grads, shift_grads) = grads
+         vig_grads, shift_grads) = grads[:8]
 
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
         new_g = optax.apply_updates(b.g, updates)
         new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
                                             cam_idx, cfg.calib, b.step)
+
+        if hybrid:
+            s_upd, spec_opt = spec_tx.update(grads[8], b.spec_opt, b.spec)
+            new_spec = optax.apply_updates(b.spec, s_upd)
+        else:
+            new_spec, spec_opt = b.spec, b.spec_opt
 
         if opt_lens:
             # NaN guard (train.py:423-432): skip the update on any NaN grad.
@@ -268,7 +285,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
 
         new_base = dataclasses.replace(
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
-            stats=stats, step=b.step + 1)
+            stats=stats, step=b.step + 1, spec=new_spec, spec_opt=spec_opt)
         new_state = dataclasses.replace(
             state, base=new_base, lens=new_lens, lens_opt=lens_opt,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
@@ -303,11 +320,15 @@ def build_sub_cameras(cams: CameraParams) -> List[CameraParams]:
 
 def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
-                            focal_x: float, focal_y: float):
+                            focal_x: float, focal_y: float, spec_tx=None):
     """Five-face cubemap training (train.py:231-247, 287-323)."""
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
                                sort_by_distance=True)
     lam = cfg.opt.lambda_dssim
+    # --hybrid (reference render_cubemap takes mlp_color, train.py:235).
+    # The five faces share one camera center (pure rotations about it), so
+    # the view-dependent ASG color is computed ONCE and reused per face.
+    hybrid = cfg.calib.hybrid
     K = np.array([[focal_x, 0, static.width / 2],
                   [0, focal_y, static.height / 2], [0, 0, 1.0]])
     mask90 = cubemap_lib.fov90_square_mask(static.height, static.width,
@@ -327,14 +348,18 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
         probe = jnp.zeros((n_cap, 2), jnp.float32)
         absp = jnp.zeros((n_cap, 2), jnp.float32)
 
-        def loss_fn(g, cam, align, probe2d, abs_probe, cub_net):
+        def loss_fn(g, cam, align, probe2d, abs_probe, cub_net, spec):
             outs = []
+            extra = None
+            if hybrid:
+                from ..calib.specular import specular_extra_color
+                extra = specular_extra_color(spec, g.xyz, g.asg, cam, align)
 
             def one_render(c, pr, ap):
                 return render(g.xyz, g.scaling(), g.quats,
                               g.opacity(b.alive), g.sh_coeffs(), c, static,
                               rcfg, bg=bg, align=align, probe2d=pr,
-                              abs_probe=ap)
+                              abs_probe=ap, extra_color=extra)
 
             main = one_render(cam, probe2d, abs_probe)
             outs.append(main)
@@ -364,15 +389,22 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
             n_drop = sum(o.n_dropped for o in outs)
             return loss, (main, faces[0], n_drop)
 
+        argnums = (0, 1, 2, 3, 4, 5) + ((6,) if hybrid else ())
         (loss, (main, face0, n_drop)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
-                b.g, cam_i, b.align, probe, absp, state.cubemap_net)
-        g_grads, cam_grads, _, signed_stat, abs_stat, cub_grads = grads
+            loss_fn, argnums=argnums, has_aux=True)(
+                b.g, cam_i, b.align, probe, absp, state.cubemap_net, b.spec)
+        g_grads, cam_grads, _, signed_stat, abs_stat, cub_grads = grads[:6]
 
         updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
         new_g = optax.apply_updates(b.g, updates)
         new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
                                             cam_idx, cfg.calib, b.step)
+
+        if hybrid:
+            s_upd, spec_opt = spec_tx.update(grads[6], b.spec_opt, b.spec)
+            new_spec = optax.apply_updates(b.spec, s_upd)
+        else:
+            new_spec, spec_opt = b.spec, b.spec_opt
 
         bad = jnp.any(jnp.array(
             [jnp.any(~jnp.isfinite(l))
@@ -389,7 +421,7 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
 
         new_base = dataclasses.replace(
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
-            stats=stats, step=b.step + 1)
+            stats=stats, step=b.step + 1, spec=new_spec, spec_opt=spec_opt)
         return dataclasses.replace(state, base=new_base, cubemap_net=new_cub,
                                    cubemap_opt=cub_opt), (loss, face0, n_drop)
 
@@ -485,11 +517,13 @@ class CalibTrainer(Trainer):
             if self.mode == "fisheye":
                 self._steps[key] = make_fisheye_train_step(
                     self.setup, self.rcfg, self.cfg, self.g_tx, self.txs,
-                    self.active_sh_degree, opt_lens, use_vig)
+                    self.active_sh_degree, opt_lens, use_vig,
+                    spec_tx=self.spec_tx)
             else:
                 self._steps[key] = make_cubemap_train_step(
                     self.static, self.rcfg, self.cfg, self.g_tx, self.txs,
-                    self.active_sh_degree, *self.focal)
+                    self.active_sh_degree, *self.focal,
+                    spec_tx=self.spec_tx)
         return self._steps[key]
 
     def _invoke_step(self, it, idx, gt):
@@ -524,12 +558,19 @@ def make_fisheye_eval_fn(trainer: "CalibTrainer"):
     static = setup.render_static
     apply2gt = trainer.cfg.calib.apply2gt
 
+    hybrid = trainer.cfg.calib.hybrid
+
     @jax.jit
     def eval_one(state: CalibState, cam, fish_gt):
         b = state.base
         g = b.g
+        extra = None
+        if hybrid:
+            from ..calib.specular import specular_extra_color
+            extra = specular_extra_color(b.spec, g.xyz, g.asg, cam, b.align)
         out = render(g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
-                     g.sh_coeffs(), cam, static, rcfg, bg=jnp.zeros(3))
+                     g.sh_coeffs(), cam, static, rcfg, bg=jnp.zeros(3),
+                     extra_color=extra)
         proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
                                 1.0 / jnp.tan(cam.fovy * 0.5)])
         if not apply2gt:
@@ -565,15 +606,22 @@ def make_cubemap_eval_fn(trainer: "CalibTrainer"):
                                      cfg.calib.mask_radius)
     scale = int(cfg.calib.control_point_sample_scale)
 
+    hybrid = cfg.calib.hybrid
+
     @jax.jit
     def eval_one(state: CalibState, cam, gt, sub_q, sub_t):
         b = state.base
         g = b.g
+        extra = None
+        if hybrid:
+            from ..calib.specular import specular_extra_color
+            extra = specular_extra_color(b.spec, g.xyz, g.asg, cam, b.align)
 
         def one_render(c):
             return render(g.xyz, g.scaling(), g.quats, g.opacity(b.alive),
                           g.sh_coeffs(), c, static, rcfg,
-                          bg=jnp.zeros(3), align=b.align).render
+                          bg=jnp.zeros(3), align=b.align,
+                          extra_color=extra).render
 
         face_renders = [one_render(cam)]
         for f in range(4):

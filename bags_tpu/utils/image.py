@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
@@ -82,11 +83,18 @@ def srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
                      ((x + 0.055) / 1.055) ** 2.4)
 
 
-def depth_to_normal(depth: jnp.ndarray, fx: float, fy: float) -> jnp.ndarray:
-    """Normals from a depth map by central differences in camera space
-    (`utils/general_utils.py:225` capability). depth: (H, W) -> (3, H, W)."""
+def depth_to_normal(depth: jnp.ndarray, focal: float | None = None
+                    ) -> jnp.ndarray:
+    """Normals from a depth map by central differences, reference
+    `depth2normal` semantics (`utils/general_utils.py:225-244`): replicate-pad
+    edges, scale the finite differences by focal/depth, append a unit z and
+    normalize. depth: (H, W) -> (3, H, W)."""
     h, w = depth.shape
-    dzdx = (jnp.roll(depth, -1, 1) - jnp.roll(depth, 1, 1)) * 0.5 * fx
-    dzdy = (jnp.roll(depth, -1, 0) - jnp.roll(depth, 1, 0)) * 0.5 * fy
-    n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(depth)], axis=0)
-    return n / jnp.clip(jnp.linalg.norm(n, axis=0, keepdims=True), 1e-8)
+    if focal is None:
+        focal = w / 2.0 / float(np.tan(np.pi / 6.0))
+    dp = jnp.pad(depth, 1, mode="edge")
+    dzdx = 0.5 * (dp[1:-1, 2:] - dp[1:-1, :-2])
+    dzdy = 0.5 * (dp[2:, 1:-1] - dp[:-2, 1:-1])
+    n_xy = jnp.stack([dzdx, dzdy], axis=0) / (depth[None] + 1e-10) * focal
+    n = jnp.concatenate([n_xy, jnp.ones_like(depth)[None]], axis=0)
+    return n / jnp.clip(jnp.linalg.norm(n, axis=0, keepdims=True), 1e-12)

@@ -150,3 +150,31 @@ def test_wander_path_orbits_anchor(rng):
     # the path actually moves
     cs = np.stack([-R.T @ t for R, t in path])
     assert np.ptp(cs, axis=0).max() > 0.1 * max_trans
+
+
+def test_depth_to_normal_matches_reference_formula(rng):
+    """depth_to_normal vs a torch transcription of the reference's
+    depth2normal (utils/general_utils.py:225-244)."""
+    import torch
+    import torch.nn.functional as F
+
+    from bags_tpu.utils.image import depth_to_normal
+
+    h, w = 12, 16
+    depth_np = (2.0 + rng.random((h, w))).astype(np.float32)
+
+    d = torch.tensor(depth_np)[None, None]
+    focal = w / 2 / np.tan(np.pi / 6)
+    d = torch.cat([d[:, :, :1], d, d[:, :, -1:]], dim=2)
+    d = torch.cat([d[..., :1], d, d[..., -1:]], dim=3)
+    kernel = torch.tensor([[[0, 0, 0], [-.5, 0, .5], [0, 0, 0]],
+                           [[0, -.5, 0], [0, 0, 0], [0, .5, 0]]],
+                          dtype=d.dtype)[:, None]
+    normal = F.conv2d(d, kernel, padding="valid")[0].permute(1, 2, 0)
+    normal = normal / (d[0, 0, 1:-1, 1:-1, None] + 1e-10) * focal
+    normal = torch.cat([normal, torch.ones_like(normal[..., :1])], dim=-1)
+    normal = normal / normal.norm(dim=-1, keepdim=True)
+    ref = normal.permute(2, 0, 1).numpy()
+
+    ours = np.asarray(depth_to_normal(jnp.asarray(depth_np)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
