@@ -186,6 +186,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
     # like the vanilla step's (the reference threads mlp_color through the
     # fisheye render at train.py:250 and render_cubemap at train.py:235).
     hybrid = cfg.calib.hybrid
+    K = cfg.opt.batch_cams
 
     @jax.jit
     def step(state: CalibState, fish_gt: jnp.ndarray, p_view: jnp.ndarray,
@@ -193,11 +194,12 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
         b = state.base
         cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
         n_cap = b.g.capacity
-        probe = jnp.zeros((n_cap, 2), jnp.float32)
-        absp = jnp.zeros((n_cap, 2), jnp.float32)
+        lead = (K,) if K > 1 else ()
+        probe = jnp.zeros(lead + (n_cap, 2), jnp.float32)
+        absp = jnp.zeros(lead + (n_cap, 2), jnp.float32)
 
-        def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig, shift,
-                    spec):
+        def one_view(g, cam, align, probe2d, abs_probe, lens, vig, shift,
+                     spec, gt_one):
             extra = None
             if hybrid:
                 from ..calib.specular import specular_extra_color
@@ -213,7 +215,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 warped, mask, _ = dist_lib.apply_distortion(
                     lens, p_view, setup.grid_hw, out.render, proj_scale,
                     setup.flow_hw, final_hw=setup.fish_hw, apply2gt=False)
-                gt_img = fish_gt
+                gt_img = gt_one
                 if use_vignetting:
                     mask = mask * vignetting_mask(vig, *setup.fish_hw)[None]
                 if use_mask:
@@ -222,7 +224,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 image = warped
             else:
                 gt_warped, mask, _ = dist_lib.apply_distortion(
-                    lens, p_view, setup.grid_hw, fish_gt, proj_scale,
+                    lens, p_view, setup.grid_hw, gt_one, proj_scale,
                     setup.flow_hw, apply2gt=True)
                 image = out.render
                 if use_vignetting:
@@ -233,6 +235,32 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 loss = photometric_loss(image, gt_warped, lam)
             return loss, (out, image)
 
+        if K > 1:
+            # K fisheye views per step (--batch_cams composed with
+            # --outside_rasterizer, VERDICT r3 item 7): mean loss over K
+            # unrolled view chains (the pattern of dist/sharded.py:275-292),
+            # per-view probes so densify stats accumulate like K single-view
+            # reference iterations.
+            def loss_fn(g, cams_k, align, probes, absps, lens, vig, shift,
+                        spec):
+                total = 0.0
+                outs, imgs = [], []
+                for k in range(K):
+                    cam_k = jax.tree_util.tree_map(lambda x: x[k], cams_k)
+                    l_k, (out_k, img_k) = one_view(
+                        g, cam_k, align, probes[k], absps[k], lens, vig,
+                        shift, spec, fish_gt[k])
+                    total = total + l_k
+                    outs.append(out_k)
+                    imgs.append(img_k)
+                out = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs)
+                return total / K, (out, jnp.stack(imgs))
+        else:
+            def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig,
+                        shift, spec):
+                return one_view(g, cam, align, probe2d, abs_probe, lens,
+                                vig, shift, spec, fish_gt)
 
         argnums = (0, 1, 2, 3, 4, 5, 6, 7) + ((8,) if hybrid else ())
         (loss, (out, image)), grads = jax.value_and_grad(
@@ -280,8 +308,19 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
         else:
             new_shift, shift_opt = state.shift, state.shift_opt
 
-        stats = update_stats(b.stats, signed_stat, abs_stat, out.radii,
-                             out.visibility)
+        if K > 1:
+            # mean-over-views scales probe cotangents by 1/K; densify
+            # thresholds are single-view reference magnitudes (loop.py).
+            stats = b.stats
+            for k in range(K):
+                stats = update_stats(stats, signed_stat[k] * K,
+                                     abs_stat[k] * K, out.radii[k],
+                                     out.visibility[k])
+            n_drop = jnp.sum(out.n_dropped)
+        else:
+            stats = update_stats(b.stats, signed_stat, abs_stat, out.radii,
+                                 out.visibility)
+            n_drop = out.n_dropped
 
         new_base = dataclasses.replace(
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
@@ -290,7 +329,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             state, base=new_base, lens=new_lens, lens_opt=lens_opt,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
             shift_opt=shift_opt)
-        return new_state, (loss, image, out.n_dropped)
+        return new_state, (loss, image, n_drop)
 
     return step
 
@@ -448,9 +487,12 @@ class CalibTrainer(Trainer):
                  focal_x, focal_y, persp_wh, fish_wh=None, source_path="",
                  bg=None, rcfg=None, seed: int = 0, fish_images=None):
         calib = cfg.calib
-        if cfg.opt.batch_cams > 1:
-            raise ValueError("--batch_cams > 1 is not supported with the "
-                             "fisheye/cubemap calibrated modes")
+        if cfg.opt.batch_cams > 1 and calib.cubemap:
+            # The fisheye mode composes with --batch_cams (K unrolled view
+            # chains); the 5-face cubemap step is already a 5-render batch
+            # per step, so stacking K cameras on top is unsupported.
+            raise ValueError("--batch_cams > 1 is not supported with "
+                             "--cubemap (use the fisheye mode or K=1)")
         self.mode = "cubemap" if calib.cubemap else "fisheye"
         self.focal = (float(focal_x), float(focal_y))
         fish_wh = fish_wh or persp_wh
@@ -531,8 +573,12 @@ class CalibTrainer(Trainer):
 
         step = self._calib_step_fn(it)
         if self.mode == "fisheye":
-            gt_img = self.fish_images(idx) if callable(self.fish_images) \
-                else self.fish_images[idx]
+            load = (self.fish_images if callable(self.fish_images)
+                    else self.fish_images.__getitem__)
+            if self.cfg.opt.batch_cams > 1:
+                gt_img = jnp.stack([load(int(i)) for i in np.asarray(idx)])
+            else:
+                gt_img = load(idx)
             self.state, (loss, _, n_drop) = step(
                 self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         else:

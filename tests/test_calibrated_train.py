@@ -133,6 +133,43 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored.g.xyz.dtype == state.g.xyz.dtype
 
 
+def test_fisheye_batch_cams_runs_and_accumulates_stats():
+    """--outside_rasterizer --batch_cams 2 (VERDICT r3 item 7): the step
+    takes K cameras + K fisheye GTs, runs, and accumulates densify stats
+    like K single-view iterations (denom counts K)."""
+    cfg = TrainConfig(
+        opt=OptimizationConfig(batch_cams=2),
+        calib=CalibConfig(opt_cam=True, opt_distortion=False),
+        max_instances=2 ** 13)
+    sc, base, g_tx, _ = _mini_state(cfg)
+    calib_state, txs = calibrated.init_calib_state(base, cfg)
+    calib_state = dataclasses.replace(
+        calib_state,
+        lens=jax.tree_util.tree_map(lambda x: x * 1e-4, calib_state.lens))
+
+    setup = calibrated.make_fisheye_setup(
+        focal_x=40.0, focal_y=40.0, persp_wh=(48, 48), fish_wh=(48, 48),
+        control_point_sample_scale=8)
+    p_view = calibrated.fisheye_control_points(setup, 40.0, 40.0)
+    fish_gt = jnp.stack([jnp.full((3, 48, 48), 0.4),
+                         jnp.full((3, 48, 48), 0.5)])
+
+    step = calibrated.make_fisheye_train_step(
+        setup, RenderConfig(sh_degree=0, backend="jnp",
+                            max_instances=2 ** 13),
+        cfg, g_tx, txs, sh_degree=0, opt_lens=False, use_vignetting=False)
+    st, (loss, img, _) = step(calib_state, fish_gt, p_view,
+                              jnp.asarray([0, 1]), jnp.zeros(3))
+    assert np.isfinite(float(loss))
+    assert img.shape[0] == 2
+    # densify stats counted both views (denom increments by 2 for visible)
+    assert int(jnp.max(st.base.stats.denom)) == 2
+    # both sampled camera rows moved, none other existed (n_cams=2)
+    dq_delta = np.abs(np.asarray(st.base.cams.dq)
+                      - np.asarray(calib_state.base.cams.dq)).max(axis=(1,))
+    assert (dq_delta > 0).all()
+
+
 def _spec_delta(a, b):
     return max(float(jnp.abs(x - y).max()) for x, y in zip(
         jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
