@@ -56,17 +56,27 @@ def face_reproject(rays_hom: jnp.ndarray, face: str) -> jnp.ndarray:
     return jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=1)
 
 
-def warp_to_face(K: jnp.ndarray, rays_hom: jnp.ndarray, img: jnp.ndarray,
-                 face: str, height: int, width: int) -> jnp.ndarray:
-    """Project the (re-projected) distorted rays through K and grid-sample
-    the face render (:169-189)."""
+def face_grid(K: jnp.ndarray, rays_hom: jnp.ndarray, face: str, height: int,
+              width: int, img_hw: tuple[int, int]) -> jnp.ndarray:
+    """Normalized (H, W, 2) sampling grid of `warp_to_face`: re-projected
+    distorted rays through K, normalized to the face render's [-1, 1] frame.
+    Exposed separately so the sharded cubemap step can row-slice it
+    (dist/calib.py)."""
     rays = face_reproject(rays_hom, face)
     pix = (rays @ K.T)
     pix = pix[:, :2] / pix[:, 2:3]
     pix = pix.reshape(height, width, 2)
-    gx = pix[..., 0] / (img.shape[2] - 1) * 2 - 1
-    gy = pix[..., 1] / (img.shape[1] - 1) * 2 - 1
-    return grid_sample(img, jnp.stack((gx, gy), axis=-1), align_corners=True)
+    gx = pix[..., 0] / (img_hw[1] - 1) * 2 - 1
+    gy = pix[..., 1] / (img_hw[0] - 1) * 2 - 1
+    return jnp.stack((gx, gy), axis=-1)
+
+
+def warp_to_face(K: jnp.ndarray, rays_hom: jnp.ndarray, img: jnp.ndarray,
+                 face: str, height: int, width: int) -> jnp.ndarray:
+    """Project the (re-projected) distorted rays through K and grid-sample
+    the face render (:169-189)."""
+    grid = face_grid(K, rays_hom, face, height, width, img.shape[-2:])
+    return grid_sample(img, grid, align_corners=True)
 
 
 def mask_half(image: jnp.ndarray, direction: str) -> jnp.ndarray:

@@ -21,8 +21,14 @@ a device mesh (VERDICT r2 missing #2):
   * the loss is the 5-px halo-exchanged slab loss from dist/sharded.py.
 
 The lens/vignetting/shift parameters enter replicated; their gradients are
-psum'd by the shard_map transpose. `apply2gt` (warp the GT instead) is not
-sharded yet and raises.
+psum'd by the shard_map transpose.
+
+`--apply2gt` (warp the fisheye GT into the perspective frame instead,
+`/root/reference/utils/util_distortion.py:271-311` forward direction) shards
+even better than apply-to-render: the loss compares the PERSPECTIVE render
+slab against warped-GT rows, so each device warps only its own row band of
+the (replicated) fisheye GT and **no image-sized collective exists at all**
+— the step's largest collective is the O(W) halo exchange.
 """
 
 from __future__ import annotations
@@ -34,6 +40,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+import numpy as np
+
+from ..calib import cubemap as cubemap_lib
 from ..calib import distortion as dist_lib
 from ..calib.vignetting import vignetting_mask
 from ..core.camera import CameraStatic
@@ -111,21 +120,40 @@ def _fisheye_warp_rows(lens, p_view, grid_hw, image, proj_scale,
     return warped, mask
 
 
+def _gt_warp_rows(lens, p_view, grid_hw, fish_gt, proj_scale, flow_hw,
+                  h_pad: int, row0, n_rows: int):
+    """Rows [row0, row0+n_rows) of the APPLY2GT warp
+    (`apply_distortion(..., apply2gt=True)`: fisheye GT -> perspective
+    frame, no crop stage): compute the full flow field (control grid +
+    bilinear upsample, replicated small compute), slice the local row band,
+    and bilinearly sample the replicated fisheye GT. Float-exact vs the
+    single-chip chain (same compute_flow + grid_sample arithmetic,
+    row-sliced). Returns (gt_warped_slab, mask_slab) with the reference's
+    near-zero validity test (util_distortion.py:303-306)."""
+    Hf, Wf = flow_hw
+    row0 = jnp.asarray(row0, jnp.int32)
+    flow = dist_lib.compute_flow(lens, p_view, grid_hw, proj_scale,
+                                 flow_hw, sensor_to_frustum=True)
+    flow_p = jnp.pad(flow, ((0, max(h_pad - Hf, 0)), (0, 0), (0, 0)))
+    flow_slab = jax.lax.dynamic_slice(flow_p, (row0, 0, 0), (n_rows, Wf, 2))
+    warped = grid_sample(fish_gt, flow_slab, align_corners=True)
+    mask = (~((warped[0] < 1e-5) & (warped[1] < 1e-5)))[None].astype(
+        warped.dtype)
+    return warped, mask
+
+
 def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
                               g_tx, txs, sh_degree: int, opt_lens: bool,
                               use_vignetting: bool):
-    """Sharded analogue of `train/calibrated.py::make_fisheye_train_step`."""
+    """Sharded analogue of `train/calibrated.py::make_fisheye_train_step`,
+    both warp directions (apply-to-render and --apply2gt)."""
     import optax
 
     from ..model.densify import update_stats
     from ..train.calibrated import CalibState, _apply_lr
     from ..train.loop import row_adam_update
 
-    if cfg.calib.apply2gt:
-        raise NotImplementedError(
-            "--mesh fisheye supports the apply-to-render direction only; "
-            "drop --apply2gt or train single-chip")
-
+    apply2gt = bool(cfg.calib.apply2gt)
     axis = mesh.axis_names[0]
     d = mesh.devices.size
     static: CameraStatic = setup.render_static
@@ -140,35 +168,66 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
     render_slab_fn = _make_device_render(axis, static, rcfg, d,
                                          hybrid=False,
                                          shift_enabled=opt_shift)
+    # apply2gt loss lives in the RENDER frame: slab rows are the render's
+    # tile rows (h_pad = d * tiles_y_local * TILE_H >= static.height).
+    from ..raster import binning as _binning
+    from .sharded import _tiles_y_local
+    nr_render = _tiles_y_local(static, d) * _binning.TILE_H
+    h_pad_render = nr_render * d
 
     def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
                   alive, cam, align, probe2d, abs_probe, lens, vig, shift,
-                  fish_slab, p_view, bg):
-        slab, full, bins, _ = render_slab_fn(
+                  fish_in, p_view, bg):
+        slab, full, bins, y0_px = render_slab_fn(
             xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest,
             jnp.zeros((), jnp.float32), alive, cam, align, probe2d,
             abs_probe, None, bg, shift=shift)
-        img_full = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
-        img_full = img_full[:, :true_render_h, :]
-
         proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
                                 1.0 / jnp.tan(cam.fovy * 0.5)])
         dev = jax.lax.axis_index(axis)
-        row0 = dev * nr
-        warped, mask = _fisheye_warp_rows(
-            lens, p_view, setup.grid_hw, img_full, proj_scale,
-            setup.flow_hw, setup.fish_hw, fh_pad, row0, nr)
-        if use_vignetting:
-            # computed at the TRUE fisheye size (the radial center must
-            # match the single-chip mask), padded for slab slicing
-            vmask = vignetting_mask(vig, fh, fw)[None]
-            vmask = jnp.pad(vmask, ((0, 0), (0, fh_pad - fh), (0, 0)))
-            vrows = jax.lax.dynamic_slice(vmask, (0, row0, 0),
-                                          (1, nr, fw))
-            mask = mask * vrows
-        gt_slab = fish_slab * mask if use_mask else fish_slab
-        loss = _halo_slab_loss(warped, gt_slab, axis,
-                               row0.astype(jnp.float32), fh, lam)
+
+        if not apply2gt:
+            # warp the render into the fisheye frame: needs the full
+            # perspective image (arbitrary source taps) -> one all-gather.
+            img_full = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
+            img_full = img_full[:, :true_render_h, :]
+            row0 = dev * nr
+            warped, mask = _fisheye_warp_rows(
+                lens, p_view, setup.grid_hw, img_full, proj_scale,
+                setup.flow_hw, setup.fish_hw, fh_pad, row0, nr)
+            if use_vignetting:
+                # computed at the TRUE fisheye size (the radial center must
+                # match the single-chip mask), padded for slab slicing
+                vmask = vignetting_mask(vig, fh, fw)[None]
+                vmask = jnp.pad(vmask, ((0, 0), (0, fh_pad - fh), (0, 0)))
+                vrows = jax.lax.dynamic_slice(vmask, (0, row0, 0),
+                                              (1, nr, fw))
+                mask = mask * vrows
+            gt_slab = fish_in * mask if use_mask else fish_in
+            loss = _halo_slab_loss(warped, gt_slab, axis,
+                                   row0.astype(jnp.float32), fh, lam)
+        else:
+            # warp the (replicated) fisheye GT into the render frame: the
+            # loss compares LOCAL render rows vs local warped-GT rows — no
+            # image-sized collective at all.
+            row0 = dev * nr_render
+            gt_warped, mask = _gt_warp_rows(
+                lens, p_view, setup.grid_hw, fish_in, proj_scale,
+                setup.flow_hw, h_pad_render, row0, nr_render)
+            image = slab
+            if use_vignetting:
+                vmask = vignetting_mask(vig, static.height, static.width)
+                vmask = jnp.pad(
+                    vmask, ((0, h_pad_render - static.height), (0, 0)))[None]
+                vrows = jax.lax.dynamic_slice(
+                    vmask, (0, row0, 0), (1, nr_render, static.width))
+                mask = mask * vrows
+            if use_mask:
+                image = image * mask
+            loss = _halo_slab_loss(image, gt_warped, axis,
+                                   row0.astype(jnp.float32),
+                                   true_render_h, lam)
+
         aux = dict(radii=full.radius,
                    n_dropped=jax.lax.psum(bins.n_dropped, axis))
         return loss, aux
@@ -179,7 +238,9 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
         P(), P(),                                              # cam, align
         P(), P(),                                              # probes
         P(), P(), P(),                                         # lens/vig/shift
-        P(None, axis, None),                                   # fisheye slab
+        # apply-to-render: fisheye GT row-sharded; apply2gt: replicated
+        # (every device samples arbitrary GT positions)
+        P() if apply2gt else P(None, axis, None),
         P(), P(),                                              # p_view, bg
     )
     out_specs = (P(), dict(radii=P(), n_dropped=P()))
@@ -250,5 +311,176 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
             shift_opt=shift_opt)
         return new_state, (loss, aux["n_dropped"])
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sharded cubemap (5-face) training step
+# ---------------------------------------------------------------------------
+
+def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
+                              rcfg: RenderConfig, cfg, g_tx, txs,
+                              sh_degree: int, focal_x: float, focal_y: float,
+                              spec_tx=None):
+    """Five-face cubemap training over the mesh (VERDICT r3 item 4; the
+    reference step is `/root/reference/utils/cubemap_utils.py:219-288` +
+    `train.py:287-323`).
+
+    Each face render is tile-slab sharded (`_make_device_render`). The
+    cubemap warp taps arbitrary source pixels, so every face costs ONE
+    image all-gather (5 x O(H*W) ICI bytes per step — the warp's
+    irreducible data dependence); the WARP OUTPUT + masked photometric loss
+    are row-sharded: every device samples only its own row band of each
+    warped face and the per-face losses ride the 5-px halo-exchanged slab
+    loss. The single-chip cubemap objective
+    (1-l)*sum L1_f + l*(5 - sum ssim_f) equals the sum over faces of the
+    standard photometric loss, so the total is 5 halo-loss calls summed —
+    no extra collectives. cubemap_net/spec gradients psum via the
+    shard_map transpose.
+    """
+    import optax
+
+    from ..model.densify import update_stats
+    from ..train.calibrated import CalibState, _apply_lr
+    from ..train.loop import row_adam_update
+
+    hybrid = bool(cfg.calib.hybrid)
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
+                               sort_by_distance=True)
+    lam = cfg.opt.lambda_dssim
+    H, W = static.height, static.width
+    K_np = np.array([[focal_x, 0, W / 2], [0, focal_y, H / 2],
+                     [0, 0, 1.0]], np.float32)
+    scale = int(cfg.calib.control_point_sample_scale)
+    mask90 = cubemap_lib.fov90_square_mask(H, W, focal_x, focal_y)
+    circ = cubemap_lib.circular_mask(H, W, cfg.calib.mask_radius)
+
+    from ..raster import binning as _binning
+    from .sharded import _tiles_y_local
+    nr = _tiles_y_local(static, d) * _binning.TILE_H
+    h_pad = nr * d
+
+    # Per-face static loss masks (circ * half-mask), row-padded for slicing.
+    def _pad_rows(m):
+        return jnp.pad(m, ((0, 0), (0, h_pad - H), (0, 0)))
+
+    half = [jnp.ones_like(circ)] + [
+        cubemap_lib.mask_half(jnp.ones_like(circ), f)
+        for f in ("up", "down", "left", "right")]
+    face_masks = [_pad_rows(circ * hm) for hm in half]
+
+    render_slab_fn = _make_device_render(axis, static, rcfg, d,
+                                         hybrid=hybrid)
+
+    def device_fn(xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest, asg,
+                  alive, cam, align, probe2d, abs_probe, cub_net, spec,
+                  gt_slab, sub_q, sub_t, bg):
+        rays_hom = cubemap_lib.distorted_rays(cub_net, K_np, W, H, scale)
+        dev = jax.lax.axis_index(axis)
+        row0 = dev * nr
+        zeros_pr = jnp.zeros_like(probe2d)
+
+        total = 0.0
+        radii = None
+        n_drop = 0
+        for i, face in enumerate(cubemap_lib.FACES):
+            cam_f = cam if i == 0 else dataclasses.replace(
+                cam, q_init=sub_q[i - 1], t_init=sub_t[i - 1])
+            pr = probe2d if i == 0 else zeros_pr
+            ap = abs_probe if i == 0 else zeros_pr
+            slab, full, bins, _ = render_slab_fn(
+                xyz, scales_log, quats, opacity_raw, sh_dc, sh_rest, asg,
+                alive, cam_f, align, pr, ap, spec, bg)
+            face_full = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
+            img = face_full[:, :H, :] * mask90
+
+            grid = cubemap_lib.face_grid(K_np, rays_hom, face, H, W, (H, W))
+            grid_p = jnp.pad(grid, ((0, h_pad - H), (0, 0), (0, 0)))
+            grid_slab = jax.lax.dynamic_slice(grid_p, (row0, 0, 0),
+                                              (nr, W, 2))
+            warped_slab = grid_sample(img, grid_slab, align_corners=True)
+            m_slab = jax.lax.dynamic_slice(face_masks[i], (0, row0, 0),
+                                           (3, nr, W))
+            total = total + _halo_slab_loss(
+                warped_slab * m_slab, gt_slab * m_slab, axis,
+                row0.astype(jnp.float32), H, lam)
+            if i == 0:
+                radii = full.radius
+            n_drop = n_drop + bins.n_dropped
+
+        aux = dict(radii=radii, n_dropped=jax.lax.psum(n_drop, axis))
+        return total, aux
+
+    in_specs = (
+        P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # g fields
+        P(axis) if hybrid else P(),                            # asg
+        P(axis),                                               # alive
+        P(), P(),                                              # cam, align
+        P(), P(),                                              # probes
+        P(), P(),                                              # cub_net, spec
+        P(None, axis, None),                                   # gt slab
+        P(), P(), P(),                                         # sub_q/t, bg
+    )
+    out_specs = (P(), dict(radii=P(), n_dropped=P()))
+    fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def step(state: CalibState, gt: jnp.ndarray, cam_idx: jnp.ndarray,
+             bg: jnp.ndarray, sub_q: jnp.ndarray, sub_t: jnp.ndarray):
+        b = state.base
+        cam_i = jax.tree_util.tree_map(lambda x: x[cam_idx], b.cams)
+        n_cap = b.g.capacity
+        probe = jnp.zeros((n_cap, 2), jnp.float32)
+        absp = jnp.zeros((n_cap, 2), jnp.float32)
+
+        def wrapped(g: Gaussians, cam, align, probe2d, abs_probe, cub_net,
+                    spec):
+            asg = g.asg if hybrid else jnp.zeros((), jnp.float32)
+            return fn(g.xyz, g.scales_log, g.quats, g.opacity_raw,
+                      g.sh_dc, g.sh_rest, asg, b.alive, cam, align,
+                      probe2d, abs_probe, cub_net, spec, gt, sub_q, sub_t,
+                      bg)
+
+        argnums = (0, 1, 2, 3, 4, 5) + ((6,) if hybrid else ())
+        (loss, aux), grads = jax.value_and_grad(
+            wrapped, argnums=argnums, has_aux=True)(
+                b.g, cam_i, b.align, probe, absp, state.cubemap_net, b.spec)
+        (g_grads, cam_grads, align_grads, signed_stat, abs_stat,
+         cub_grads) = grads[:6]
+
+        updates, g_opt = g_tx.update(g_grads, b.g_opt, b.g)
+        new_g = optax.apply_updates(b.g, updates)
+        new_cams, cam_opt = row_adam_update(b.cams, b.cam_opt, cam_grads,
+                                            cam_idx, cfg.calib, b.step)
+
+        if hybrid:
+            s_upd, spec_opt = spec_tx.update(grads[6], b.spec_opt, b.spec)
+            new_spec = optax.apply_updates(b.spec, s_upd)
+        else:
+            new_spec, spec_opt = b.spec, b.spec_opt
+
+        # NaN guard (reference train.py:423-432)
+        bad = jnp.any(jnp.array(
+            [jnp.any(~jnp.isfinite(l))
+             for l in jax.tree_util.tree_leaves(cub_grads)]))
+        cub_grads = jax.tree_util.tree_map(
+            lambda l: jnp.where(bad, jnp.zeros_like(l), l), cub_grads)
+        c_upd, cub_opt = txs["cubemap"][0].update(cub_grads,
+                                                  state.cubemap_opt)
+        new_cub = _apply_lr(state.cubemap_net, c_upd,
+                            txs["cubemap"][1](b.step))
+
+        stats = update_stats(b.stats, signed_stat, abs_stat,
+                             aux["radii"], aux["radii"] > 0)
+        new_base = dataclasses.replace(
+            b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
+            stats=stats, step=b.step + 1, spec=new_spec, spec_opt=spec_opt)
+        return dataclasses.replace(
+            state, base=new_base, cubemap_net=new_cub,
+            cubemap_opt=cub_opt), (loss, aux["n_dropped"])
 
     return step

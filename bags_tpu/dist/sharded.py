@@ -151,7 +151,7 @@ def _make_device_render(axis: str, static: CameraStatic, rcfg: RenderConfig,
             from ..raster.pallas_raster import composite_tiles_pallas
             tile_img = composite_tiles_pallas(
                 rows, bins.tile_start, bins.tile_count, tiles_x,
-                tiles_y_local, bg)
+                tiles_y_local, bg, fast=(rcfg.precision == "fast"))
         else:
             tile_img = tiles.composite_tiles_jnp(
                 jnp.transpose(rows[0:2]), jnp.transpose(rows[2:5]),

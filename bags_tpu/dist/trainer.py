@@ -177,11 +177,16 @@ class ShardedTrainer(Trainer):
 
 
 class ShardedCalibTrainer(ShardedTrainer):
-    """Fisheye (outside-rasterizer) training over a device mesh: the
-    tile-slab sharded render + one image all-gather + row-sharded lens warp
-    and halo loss (dist/calib.py). Mirrors `CalibTrainer`'s fisheye mode —
-    same CalibState, same optimizer schedules, same iResNet pre-fit — so
-    checkpoints interchange with single-chip runs."""
+    """Calibrated training over a device mesh, both modes (dist/calib.py):
+
+    * fisheye (--outside_rasterizer): tile-slab sharded render + row-sharded
+      lens warp and halo loss. apply-to-render pays one image all-gather;
+      --apply2gt pays none (the GT is warped row-locally).
+    * cubemap (--cubemap): five tile-slab sharded face renders, one
+      all-gather per face, row-sharded warp + per-face halo losses.
+
+    Mirrors `CalibTrainer` — same CalibState, same optimizer schedules, same
+    iResNet pre-fit — so checkpoints interchange with single-chip runs."""
 
     def __init__(self, g, alive, cams, static: CameraStatic,
                  cfg: TrainConfig, scene_extent: float, gt_images,
@@ -191,49 +196,48 @@ class ShardedCalibTrainer(ShardedTrainer):
                  fish_images=None):
         import dataclasses
 
-        from ..train.calibrated import (fisheye_control_points,
+        from ..train.calibrated import (build_sub_cameras,
+                                        fisheye_control_points,
                                         init_calib_state,
                                         make_fisheye_setup)
 
         calib = cfg.calib
         if cfg.opt.batch_cams > 1:
             raise ValueError("--batch_cams > 1 is not supported with the "
-                             "fisheye/cubemap calibrated modes")
-        if calib.cubemap:
-            raise NotImplementedError("--mesh does not support --cubemap")
-        if calib.apply2gt:
-            raise NotImplementedError(
-                "--mesh fisheye supports the apply-to-render direction "
-                "only; drop --apply2gt or train single-chip")
-        self.mode = "fisheye"
+                             "sharded fisheye/cubemap calibrated modes")
+        self.mode = "cubemap" if calib.cubemap else "fisheye"
         self.focal = (float(focal_x), float(focal_y))
         fish_wh = fish_wh or persp_wh
-        self.setup = make_fisheye_setup(
-            focal_x, focal_y, persp_wh, fish_wh,
-            flow_scale=calib.flow_scale,
-            render_resolution=calib.render_resolution,
-            control_point_sample_scale=int(calib.control_point_sample_scale),
-            apply2gt=calib.apply2gt)
-        static = self.setup.render_static
-        import jax.numpy as _jnp
-        cams = dataclasses.replace(
-            cams,
-            fovx=_jnp.full_like(cams.fovx, self.setup.fovx),
-            fovy=_jnp.full_like(cams.fovy, self.setup.fovy))
-        self.p_view = fisheye_control_points(
-            self.setup, focal_x, focal_y, calib.flow_scale)
+        if self.mode == "fisheye":
+            self.setup = make_fisheye_setup(
+                focal_x, focal_y, persp_wh, fish_wh,
+                flow_scale=calib.flow_scale,
+                render_resolution=calib.render_resolution,
+                control_point_sample_scale=int(
+                    calib.control_point_sample_scale),
+                apply2gt=calib.apply2gt)
+            static = self.setup.render_static
+            import jax.numpy as _jnp
+            cams = dataclasses.replace(
+                cams,
+                fovx=_jnp.full_like(cams.fovx, self.setup.fovx),
+                fovy=_jnp.full_like(cams.fovy, self.setup.fovy))
+            self.p_view = fisheye_control_points(
+                self.setup, focal_x, focal_y, calib.flow_scale)
 
         super().__init__(g, alive, cams, static, cfg, scene_extent,
                          gt_images, bg=bg, rcfg=rcfg, seed=seed, mesh=mesh,
                          n_devices=n_devices)
         self.fish_images = fish_images or gt_images
         d = self.mesh.devices.size
-        fh, fw = self.setup.fish_hw
-        self._fish_pad = -(-fh // d) * d
+        if self.mode == "fisheye":
+            fh, fw = self.setup.fish_hw
+            self._fish_pad = -(-fh // d) * d
 
         calib_state, self.txs = init_calib_state(self.state, cfg, seed)
         self.state = calib_state
-        if calib.opt_distortion and not calib.no_init_iresnet:
+        if self.mode == "fisheye" and calib.opt_distortion \
+                and not calib.no_init_iresnet:
             from ..calib.distortion import (init_iresnet_from_colmap,
                                             read_colmap_coeff)
             coeff = read_colmap_coeff(source_path) if source_path \
@@ -244,6 +248,19 @@ class ShardedCalibTrainer(ShardedTrainer):
             lens = init_iresnet_from_colmap(
                 self.state.lens, K, fish_wh[0], fish_wh[1], coeff)
             self.state = dataclasses.replace(self.state, lens=lens)
+        elif self.mode == "cubemap" and not calib.no_init_iresnet:
+            from ..calib.distortion import (init_cubemap_net,
+                                            read_colmap_coeff)
+            coeff = read_colmap_coeff(source_path) if source_path \
+                else [0.0, 0.0, 0.0, 0.0]
+            cub = init_cubemap_net(self.state.cubemap_net, coeff)
+            self.state = dataclasses.replace(self.state, cubemap_net=cub)
+
+        if self.mode == "cubemap":
+            import jax.numpy as _jnp
+            subs = build_sub_cameras(self.state.base.cams)
+            self.sub_q = _jnp.stack([s.q_init for s in subs[:4]], axis=1)
+            self.sub_t = _jnp.stack([s.t_init for s in subs[:4]], axis=1)
         self._shard_state()
 
     # -- sharding ----------------------------------------------------------
@@ -272,6 +289,10 @@ class ShardedCalibTrainer(ShardedTrainer):
 
     def _pad_fish_gt(self, gt):
         gt = jnp.asarray(gt)
+        if self.cfg.calib.apply2gt:
+            # apply2gt warps the GT row-locally from arbitrary positions:
+            # it enters the step REPLICATED, unpadded (dist/calib.py).
+            return jax.device_put(gt, NamedSharding(self.mesh, P()))
         if gt.shape[1] != self._fish_pad:
             gt = jnp.pad(gt, ((0, 0), (0, self._fish_pad - gt.shape[1]),
                               (0, 0)))
@@ -280,9 +301,17 @@ class ShardedCalibTrainer(ShardedTrainer):
     # -- step dispatch -------------------------------------------------------
 
     def _calib_step_fn(self, it: int):
-        from .calib import make_sharded_fisheye_step
+        from .calib import make_sharded_cubemap_step, make_sharded_fisheye_step
 
         calib = self.cfg.calib
+        if self.mode == "cubemap":
+            key = (self.active_sh_degree, "sharded-cubemap")
+            if key not in self._steps:
+                self._steps[key] = make_sharded_cubemap_step(
+                    self.mesh, self.static, self.rcfg, self.cfg, self.g_tx,
+                    self.txs, self.active_sh_degree, *self.focal,
+                    spec_tx=self.spec_tx)
+            return self._steps[key]
         opt_lens = (calib.opt_distortion
                     and calib.iresnet_opt_duration[0] <= it
                     < calib.iresnet_opt_duration[1]
@@ -301,11 +330,17 @@ class ShardedCalibTrainer(ShardedTrainer):
     def _invoke_step(self, it, idx, gt):
         from ..train.loop import StepMetrics
 
-        gt_img = self.fish_images(idx) if callable(self.fish_images) \
-            else self.fish_images[idx]
-        gt_img = self._pad_fish_gt(gt_img)
-        self.state, (loss, n_drop) = self._calib_step_fn(it)(
-            self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
+        if self.mode == "cubemap":
+            gt = self._pad_gt(gt)
+            self.state, (loss, n_drop) = self._calib_step_fn(it)(
+                self.state, gt, jnp.asarray(idx), self.bg, self.sub_q[idx],
+                self.sub_t[idx])
+        else:
+            gt_img = self.fish_images(idx) if callable(self.fish_images) \
+                else self.fish_images[idx]
+            gt_img = self._pad_fish_gt(gt_img)
+            self.state, (loss, n_drop) = self._calib_step_fn(it)(
+                self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         b = self.state.base
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(b.alive),

@@ -456,3 +456,164 @@ def test_sharded_trainer_batch_cams():
     hist = tr.run(iterations=4, log_every=4)
     assert np.isfinite(hist[-1][1])
     assert np.abs(np.asarray(tr.state.cams.dq) - dq0).max() > 0
+
+
+def _mini_calib(cfg, n_pts=60, n_cams=2, seed=5):
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.train import calibrated
+    from bags_tpu.train.loop import init_train_state
+
+    rng = np.random.default_rng(seed)
+    sc = make_toy_scene(n=n_pts, width=48, height=48, sh_degree=0, seed=seed)
+    pts = np.asarray(sc["xyz"]) + rng.normal(0, 0.05, (n_pts, 3)).astype(
+        np.float32)
+    cols = rng.uniform(0.2, 0.8, (n_pts, 3)).astype(np.float32)
+    g, alive = create_from_points(pts, cols, 128, sh_degree=0)
+    cams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[CameraParams.create(np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), 0.9, 0.9)
+          for _ in range(n_cams)])
+    base, g_tx, _, _ = init_train_state(g, alive, cams, cfg, 2.0)
+    calib_state, txs = calibrated.init_calib_state(base, cfg)
+    return sc, calib_state, g_tx, txs
+
+
+def test_sharded_apply2gt_step_matches_single_device():
+    """One sharded --apply2gt fisheye step (warp the GT into the render
+    frame, dist/calib.py `_gt_warp_rows` — NO image all-gather) matches the
+    single-chip apply2gt step exactly (VERDICT r3 item 5)."""
+    n_devices = 4
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    from bags_tpu.dist.calib import make_sharded_fisheye_step
+    from bags_tpu.train import calibrated
+    from bags_tpu.train.config import CalibConfig, OptimizationConfig, \
+        TrainConfig
+
+    mesh = make_mesh(n_devices)
+    cfg = TrainConfig(
+        opt=OptimizationConfig(),
+        calib=CalibConfig(opt_cam=True, opt_distortion=True,
+                          iresnet_lr=1e-6, apply2gt=True),
+        max_instances=2 ** 13)
+    sc, calib_state, g_tx, txs = _mini_calib(cfg)
+    calib_state = dataclasses.replace(
+        calib_state,
+        lens=jax.tree_util.tree_map(lambda x: x * 1e-4, calib_state.lens))
+
+    setup = calibrated.make_fisheye_setup(
+        focal_x=40.0, focal_y=40.0, persp_wh=(48, 48), fish_wh=(48, 48),
+        control_point_sample_scale=8, apply2gt=True)
+    p_view = calibrated.fisheye_control_points(setup, 40.0, 40.0)
+    b2 = calib_state.base
+    cams2 = dataclasses.replace(
+        b2.cams,
+        fovx=jnp.full_like(b2.cams.fovx, setup.fovx),
+        fovy=jnp.full_like(b2.cams.fovy, setup.fovy))
+    calib_state = dataclasses.replace(
+        calib_state, base=dataclasses.replace(b2, cams=cams2))
+
+    rcfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=2 ** 13,
+                        max_per_tile=1024)
+    fh, fw = setup.fish_hw
+    fish_gt = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (3, fh, fw)).astype(
+            np.float32))
+    bg = jnp.zeros(3)
+
+    step_1 = calibrated.make_fisheye_train_step(
+        setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
+        use_vignetting=False)
+    st1, (loss1, _, _) = step_1(calib_state, fish_gt, p_view,
+                                jnp.asarray(0), bg)
+
+    step_n = make_sharded_fisheye_step(
+        mesh, setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
+        use_vignetting=False)
+    # apply2gt: the fisheye GT enters REPLICATED and unpadded
+    stn, (lossn, _) = step_n(calib_state, fish_gt, p_view,
+                             jnp.asarray(0), bg)
+
+    np.testing.assert_allclose(float(lossn), float(loss1),
+                               rtol=1e-4, atol=1e-6)
+    for name, a, b in [
+            ("xyz", st1.base.g.xyz, stn.base.g.xyz),
+            ("dq", st1.base.cams.dq, stn.base.cams.dq),
+            ("dt", st1.base.cams.dt, stn.base.cams.dt)]:
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5, err_msg=name)
+    for la, lb in zip(jax.tree_util.tree_leaves(st1.lens),
+                      jax.tree_util.tree_leaves(stn.lens)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-3, atol=1e-7)
+
+
+def test_sharded_cubemap_step_matches_single_device():
+    """One sharded 5-face cubemap step (dist/calib.py
+    make_sharded_cubemap_step) matches the single-chip cubemap step from
+    the same CalibState: loss, Gaussian update, camera update, cubemap-net
+    update (VERDICT r3 item 4)."""
+    n_devices = 4
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    from bags_tpu.dist.calib import make_sharded_cubemap_step
+    from bags_tpu.train import calibrated
+    from bags_tpu.train.config import CalibConfig, OptimizationConfig, \
+        TrainConfig
+
+    mesh = make_mesh(n_devices)
+    cfg = TrainConfig(
+        opt=OptimizationConfig(),
+        calib=CalibConfig(opt_cam=True, cubemap=True, mask_radius=20,
+                          control_point_sample_scale=8, iresnet_lr=1e-7),
+        max_instances=2 ** 13)
+    sc, calib_state, g_tx, txs = _mini_calib(cfg)
+    calib_state = dataclasses.replace(
+        calib_state,
+        cubemap_net=jax.tree_util.tree_map(lambda x: x * 1e-4,
+                                           calib_state.cubemap_net))
+    static = CameraStatic(width=48, height=48)
+    subs = calibrated.build_sub_cameras(calib_state.base.cams)
+    sub_q = jnp.stack([s.q_init[0] for s in subs[:4]])
+    sub_t = jnp.stack([s.t_init[0] for s in subs[:4]])
+
+    rcfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=2 ** 13,
+                        max_per_tile=1024)
+    gt = jnp.asarray(np.random.default_rng(9).uniform(
+        0, 1, (3, 48, 48)).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    step_1 = calibrated.make_cubemap_train_step(
+        static, rcfg, cfg, g_tx, txs, sh_degree=0, focal_x=24.0,
+        focal_y=24.0)
+    st1, (loss1, _, _) = step_1(calib_state, gt, jnp.asarray(0), bg,
+                                sub_q, sub_t)
+
+    step_n = make_sharded_cubemap_step(
+        mesh, static, rcfg, cfg, g_tx, txs, sh_degree=0, focal_x=24.0,
+        focal_y=24.0)
+    from bags_tpu.dist.mesh import padded_height
+    from bags_tpu.raster.binning import TILE_H
+    h_pad = padded_height(48, n_devices, TILE_H)
+    gt_pad = jnp.pad(gt, ((0, 0), (0, h_pad - 48), (0, 0)))
+    stn, (lossn, _) = step_n(calib_state, gt_pad, jnp.asarray(0), bg,
+                             sub_q, sub_t)
+
+    np.testing.assert_allclose(float(lossn), float(loss1),
+                               rtol=1e-4, atol=1e-5)
+    # xyz atol covers one full Adam step (lr 1.6e-4 * extent 2): the sharded
+    # loss sums the 5 face losses in a different f32 order than the
+    # single-chip (1-l)*sum l1 + l*(5 - sum ssim) grouping, so a Gaussian
+    # with a ~0 gradient can flip sign and Adam's m/sqrt(v) amplifies that
+    # flip to +-lr on the first step. Loss and all other params are tight.
+    for name, a, b, atol in [
+            ("xyz", st1.base.g.xyz, stn.base.g.xyz, 1e-3),
+            ("dq", st1.base.cams.dq, stn.base.cams.dq, 2e-5),
+            ("dt", st1.base.cams.dt, stn.base.cams.dt, 2e-5)]:
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=atol, err_msg=name)
+    for la, lb in zip(jax.tree_util.tree_leaves(st1.cubemap_net),
+                      jax.tree_util.tree_leaves(stn.cubemap_net)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-3, atol=1e-7)

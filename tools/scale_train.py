@@ -1,0 +1,178 @@
+"""BASELINE config-4 scale evidence: an ON-CHIP training run that
+densifies from ~200k to >= 1M alive Gaussians at garden-class resolution
+(VERDICT r3 item 2).
+
+Prints one JSON line with: final alive count, median step time at >= 1M
+alive, pixels/s, HBM bytes in use, capacity-growth/recompile count, total
+instances dropped, and the binning sort path taken (packed u32 vs wide
+two-operand — at >= 1M Gaussians the packed (tile|rank) key runs out of
+rank bits, so this run exercises the wide-key regime end-to-end).
+
+Usage: python tools/scale_train.py [--width 1600 --height 1080]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--init_n", type=int, default=200_000)
+    p.add_argument("--target_alive", type=int, default=1_000_000)
+    p.add_argument("--capacity", type=int, default=2 ** 21)
+    p.add_argument("--gt_n", type=int, default=1_000_000)
+    p.add_argument("--n_cams", type=int, default=8)
+    p.add_argument("--max_iters", type=int, default=4000)
+    p.add_argument("--sh_degree", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bags_tpu.core.camera import CameraParams, CameraStatic
+    from bags_tpu.model.gaussians import create_from_points
+    from bags_tpu.raster import RenderConfig, render
+    from bags_tpu.raster import binning
+    from bags_tpu.train.config import CalibConfig, OptimizationConfig, \
+        TrainConfig
+    from bags_tpu.train.loop import Trainer
+    from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
+    from bags_tpu.utils.testing import make_toy_scene
+
+    enable_persistent_cache()
+    if jax.default_backend() == "tpu":
+        warm_ssim_grad()
+
+    W, H = args.width, args.height
+    static = CameraStatic(width=W, height=H)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    # Ground truth: renders of a DENSE random scene (detail the sparse init
+    # cannot reproduce, so densification has a real signal to chase).
+    gt_scene = make_toy_scene(n=args.gt_n, width=W, height=H,
+                              sh_degree=args.sh_degree, seed=1,
+                              scale_range=(0.002, 0.009))
+    rng = np.random.default_rng(0)
+    cams = []
+    for i in range(args.n_cams):
+        ang = 0.05 * (i - args.n_cams / 2)
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+        cams.append(CameraParams.create(R, np.zeros(3, np.float32),
+                                        0.9, 0.9 * H / W))
+    cam_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+    gt_cfg = RenderConfig(sh_degree=args.sh_degree, backend=backend,
+                          max_instances=2 ** 22)
+    gt_imgs = []
+    for i in range(args.n_cams):
+        img = jax.jit(lambda c: render(
+            gt_scene["xyz"], gt_scene["scales"], gt_scene["quats"],
+            gt_scene["opacity"], gt_scene["sh_coeffs"], c, static,
+            gt_cfg).render)(cams[i])
+        gt_imgs.append(np.asarray(jax.block_until_ready(img)))
+    gt = jnp.asarray(np.stack(gt_imgs))
+    print(f"GT rendered: {gt.shape}", flush=True)
+
+    # Sparse init: a random subsample of the GT scene's points.
+    sel = rng.choice(args.gt_n, size=args.init_n, replace=False)
+    pts = np.asarray(gt_scene["xyz"])[sel]
+    cols = np.clip(0.2821 * np.asarray(gt_scene["sh_coeffs"])[sel, 0] + 0.5,
+                   0.05, 0.95)
+    g, alive = create_from_points(pts, cols, args.capacity,
+                                  sh_degree=args.sh_degree)
+
+    cfg = TrainConfig(
+        opt=OptimizationConfig(
+            densify_from_iter=100, densify_until_iter=args.max_iters,
+            densification_interval=100, densify_grad_threshold=5e-6,
+            opacity_reset_interval=10 ** 9),
+        calib=CalibConfig(opt_cam=False, opt_intrinsic=False),
+        max_instances=0, auto_capacity=True)
+    cfg.model.sh_degree = args.sh_degree
+
+    trainer = Trainer(g, alive, cam_b, static, cfg, scene_extent=3.0,
+                      gt_images=gt, rcfg=None)
+    # capacity estimate like train.py --max_instances 0
+    from bags_tpu.train.loop import estimate_capacity
+    import dataclasses as _dc
+    cap0 = estimate_capacity(g, alive, cam_b, static)
+    trainer.rcfg = _dc.replace(
+        trainer.rcfg, max_instances=cap0,
+        backend=backend, sh_degree=args.sh_degree)
+    cfg.max_instances = cap0
+    print(f"initial instance capacity: {cap0}", flush=True)
+
+    tiles_x, tiles_y = binning.tile_grid(W, H)
+    rank_bits = 32 - int(tiles_x * tiles_y).bit_length()
+    growths = [cap0]
+    dropped_total = 0
+    step_times = []
+    t_iter = time.perf_counter()
+    target_hit_iter = None
+
+    def cb(it, state, metrics):
+        nonlocal dropped_total, target_hit_iter
+        t = time.perf_counter()
+        if it % 50 == 0:
+            n_alive = int(metrics.n_alive)
+            nd = int(metrics.n_dropped)
+            dropped_total += nd
+            if trainer.rcfg.max_instances != growths[-1]:
+                growths.append(trainer.rcfg.max_instances)
+            print(f"it {it}: loss {float(metrics.loss):.4f} "
+                  f"alive {n_alive} cap {trainer.rcfg.max_instances} "
+                  f"dropped {nd} ({(t - cb.t0) * 1e3 / 50:.0f} ms/it)",
+                  flush=True)
+            if n_alive >= args.target_alive and target_hit_iter is None:
+                target_hit_iter = it
+            if target_hit_iter is not None and it >= target_hit_iter + 100:
+                # timed window at >= target alive
+                step_times.append((t - cb.t0) / 50)
+                if len(step_times) >= 4:
+                    raise KeyboardInterrupt  # graceful stop
+            cb.t0 = t
+    cb.t0 = t_iter
+
+    try:
+        trainer.run(iterations=args.max_iters, callback=cb)
+    except KeyboardInterrupt:
+        pass
+
+    n_alive = int(jnp.sum(trainer.state.alive))
+    med_step = float(np.median(step_times)) if step_times else float("nan")
+    mem = {}
+    try:
+        mem = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        pass
+    n_final = int(trainer.state.g.capacity)
+    print(json.dumps({
+        "metric": "scale_train_densify_to_1M",
+        "resolution": [W, H],
+        "sh_degree": args.sh_degree,
+        "capacity": n_final,
+        "alive_final": n_alive,
+        "reached_target": n_alive >= args.target_alive,
+        "median_step_s_at_target": round(med_step, 4),
+        "pixels_per_s_at_target": (round(W * H / med_step, 1)
+                                   if step_times else None),
+        "hbm_bytes_in_use": mem.get("bytes_in_use"),
+        "capacity_ladder": growths,
+        "recompiles_from_growth": len(growths) - 1,
+        "instances_dropped_total": dropped_total,
+        "sort_path": ("wide-2op" if n_final >= (1 << rank_bits)
+                      else "packed-u32"),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -215,15 +215,7 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
                         max_instances=cfg.max_instances or 2 ** 20)
     if getattr(cfg, "mesh", 0):
-        if cfg.calib.cubemap:
-            # The cubemap step (5 sub-renders + stitched loss) is not yet
-            # sharded; silently training an uncalibrated model would be a
-            # correctness trap (the reference's headline capability is the
-            # calibrated path, /root/reference/train.py:255-325).
-            raise NotImplementedError(
-                "--mesh does not support --cubemap yet; drop --mesh or "
-                "train the cubemap model single-chip.")
-        if cfg.calib.outside_rasterizer:
+        if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
             from bags_tpu.dist.trainer import ShardedCalibTrainer
 
             info0 = scene.train_infos[0]
