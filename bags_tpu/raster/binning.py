@@ -163,20 +163,33 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     # rank_of = depth_order^-1: a unique-index scatter beats a second sort.
     rank_of = jnp.zeros((n,), jnp.int32).at[depth_order].set(iota_n)
 
-    ntiles_r = jnp.take(ntiles, depth_order)
     assert tiles_x < 2048 and tiles_y < 2048, "image wider than 32k px?"
-    nx_r = jnp.clip(jnp.take(nx, depth_order), 1, 1023)
-    x0_r = jnp.take(x0, depth_order)
-    y0_r = jnp.take(y0, depth_order)
+    # Permute ALL per-Gaussian fields to rank order with ONE stacked gather
+    # (random (N,)-index gathers cost ~8 ns/row on TPU — at 1M Gaussians
+    # four separate takes were ~25% of the whole binning stage). tile_first/
+    # tile_last (the head-jump endpoints, used by the slot expansion below)
+    # are cheap elementwise pre-permutation, so they ride the same gather.
+    nx_c = jnp.clip(nx, 1, 1023)
+    tile_first_all = y0 * tiles_x + x0
+    ny_all = ntiles // nx_c                       # N-sized int div: cheap
+    tile_last_all = tile_first_all + (ny_all - 1) * tiles_x + nx_c - 1
+    perm4 = jnp.take(jnp.stack([ntiles, nx_c, tile_first_all,
+                                tile_last_all], axis=0),
+                     depth_order, axis=1)
+    ntiles_r, nx_r, tile_first, tile_last = (
+        perm4[0], perm4[1], perm4[2], perm4[3])
 
     # --- capacity: keep the NEAREST Gaussians up to the budget -------------
     cum_all = jnp.cumsum(ntiles_r)
     n_dropped = jnp.maximum(cum_all[-1] - m, 0)
     kept = cum_all <= m
     seg_len = jnp.where(kept, ntiles_r, 0)
-    seg_cum = jnp.cumsum(seg_len)
+    # kept is a PREFIX of the rank order (cumsum <= m is prefix-closed), so
+    # cumsum(seg_len) == min(cum_all, total) — the second 1M-element cumsum
+    # collapses to a where/max/min.
+    total = jnp.max(jnp.where(kept, cum_all, 0))
+    seg_cum = jnp.minimum(cum_all, total)
     offsets = seg_cum - seg_len
-    total = seg_cum[-1]
 
     # --- 2. gaussian-major slot expansion ----------------------------------
     # Per-slot tile ids WITHOUT any (m,)-sized random gather (~8 ms/2^20 on
@@ -191,17 +204,35 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     slots = jnp.arange(m, dtype=jnp.int32)
     head_pos = jnp.where(seg_len > 0, offsets, m)  # OOB drops
     small_rank = n < (1 << 21)
+    # Head jumps (per-Gaussian, rank order): first tile of g minus the last
+    # tile of the PREVIOUS nonzero segment (tile_first/tile_last rode the
+    # stacked rank-permute above).
+    nonzero = seg_len > 0
+    # prev nonzero segment strictly BEFORE g: shift the running last-index
+    prev_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(
+            jnp.where(nonzero, iota_n, -1))[:-1]])
+    prev_end = jnp.where(prev_before >= 0,
+                         jnp.take(tile_last, jnp.maximum(prev_before, 0)), 0)
+    head_delta = tile_first - prev_end
+    # Three SEPARATE head scatters (same indices): the packed (rank|nx)
+    # fill-forward, the segment-start fill-forward, and the head-jump
+    # delta. Measured on v5e at 1M indices -> 4M slots: three 1-column
+    # scatters are ~free while one packed (N, 3)-value scatter costs
+    # ~20 ms (XLA lowers the multi-column scatter poorly) — so they stay
+    # split on purpose.
+    first_col = (iota_n << 10) | nx_r if small_rank else iota_n
+    rn = _fill_forward_heads(head_pos, first_col, m)
     if small_rank:
-        packed_rn = (iota_n << 10) | nx_r
-        rn = _fill_forward_heads(head_pos, packed_rn, m)
         g_rank = rn >> 10
         nx_slot = rn & 0x3FF
     else:
-        g_rank = _fill_forward_heads(head_pos, iota_n, m)
+        g_rank = rn
         nx_slot = jnp.take(nx_r, g_rank)
-    # Segment start per slot via a second head-scatter + cummax (head_pos is
-    # its own head value, non-decreasing).
+    # Segment start per slot (head_pos is its own head value, non-decreasing)
     offs_slot = _fill_forward_heads(head_pos, head_pos, m)
+    delta_heads = jnp.zeros((m,), jnp.int32).at[head_pos].set(
+        head_delta, mode="drop")
     local = slots - offs_slot
     # local % nx in f32: integer div lowers to a slow multi-op VPU sequence;
     # both operands are tiny (local < num_tiles * 1024, nx <= 1023), so
@@ -214,25 +245,8 @@ def bin_gaussians(proj: Projected, tiles_x: int, tiles_y: int,
     valid = slots < total
     base_delta = jnp.where(wrap, tiles_x - nx_slot + 1, 1)
     base_delta = jnp.where(valid, base_delta, 0)
-    # Head jumps (per-Gaussian, rank order): first tile of g minus the last
-    # tile of the PREVIOUS nonzero segment (first tile of a rect =
-    # y0*tiles_x + x0; last = first + (ny-1)*tiles_x + nx-1).
-    tile_first = y0_r * tiles_x + x0_r
-    ny_r = jnp.where(nx_r > 0, ntiles_r // nx_r, 0)  # N-sized int div: cheap
-    tile_last = tile_first + (ny_r - 1) * tiles_x + nx_r - 1
-    nonzero = seg_len > 0
-    # prev nonzero segment strictly BEFORE g: shift the running last-index
-    prev_before = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(
-            jnp.where(nonzero, iota_n, -1))[:-1]])
-    prev_end = jnp.where(prev_before >= 0,
-                         jnp.take(tile_last, jnp.maximum(prev_before, 0)), 0)
-    head_delta = tile_first - prev_end
-    delta = jnp.zeros((m,), jnp.int32).at[head_pos].set(
-        head_delta, mode="drop")
-    # Non-head slots keep their base delta; head slots take the jump. The
-    # scatter wrote heads; add base only where not a head (local > 0).
-    delta = jnp.where(local > 0, base_delta, delta)
+    # Non-head slots keep their base delta; head slots take the jump.
+    delta = jnp.where(local > 0, base_delta, delta_heads)
     tile_id = jnp.where(valid, jnp.cumsum(delta), num_tiles)
     rank = jnp.where(valid, g_rank, n)
 

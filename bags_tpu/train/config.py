@@ -132,6 +132,10 @@ class TrainConfig:
     auto_capacity: bool = True
     seed: int = 0
     mesh: int = 0                               # N-device tile-parallel mesh
+    # Pallas compositing precision: "fast" = single-pass bf16 MXU scans with
+    # f32 accumulation (training default; quality delta in README),
+    # "exact" = CUDA-parity f32 via 3x-bf16 splits (RenderConfig.precision).
+    precision: str = "fast"
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -111,7 +111,8 @@ def main(argv=None):
         static = scene.static
         sh_degree = cfg_t.model.sh_degree
         cfg = RenderConfig(sh_degree=sh_degree, backend=args.backend,
-                           max_instances=cfg_t.max_instances)
+                           max_instances=cfg_t.max_instances,
+                           precision=getattr(cfg_t, "precision", "fast"))
         bg = (jnp.ones(3) if cfg_t.model.white_background else jnp.zeros(3))
         if cfg_t.calib.outside_rasterizer and not cfg_t.calib.cubemap:
             from bags_tpu.train.calibrated import make_fisheye_eval_fn

@@ -25,9 +25,13 @@ def main():
                                          _fill_forward_heads, padded_chunks)
     from bags_tpu.utils.testing import make_toy_scene
 
-    n, wh, mi = 100_000, 800, 2 ** 20
+    n = int(os.environ.get('BB_N', '100000'))
+    wh = int(os.environ.get('BB_WH', '800'))
+    mi = int(os.environ.get('BB_MI', str(2 ** 20)))
+    smin = float(os.environ.get('BB_SMIN', '0.008'))
+    smax = float(os.environ.get('BB_SMAX', '0.035'))
     sc = make_toy_scene(n=n, width=wh, height=wh, sh_degree=3, seed=0,
-                        scale_range=(0.008, 0.035))
+                        scale_range=(smin, smax))
     a = (sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
          sc["sh_coeffs"], sc["cam"])
     tiles_x, tiles_y = binning.tile_grid(wh, wh)
@@ -99,14 +103,23 @@ def main():
         if upto == 4:
             return tile_id, rank
         rank_bits = 32 - int(num_tiles).bit_length()
-        packed = ((tile_id.astype(jnp.uint32) << rank_bits)
-                  | rank.astype(jnp.uint32))
-        packed = jax.lax.sort(packed)
-        rank_sorted = (packed & ((1 << rank_bits) - 1)).astype(jnp.int32)
+        packed_key = n < (1 << rank_bits)
+        if packed_key:
+            packed = ((tile_id.astype(jnp.uint32) << rank_bits)
+                      | rank.astype(jnp.uint32))
+            packed = jax.lax.sort(packed)
+            rank_sorted = (packed & ((1 << rank_bits) - 1)).astype(jnp.int32)
+            tile_keys = packed
+            bound_q = jnp.arange(num_tiles + 1,
+                                 dtype=jnp.uint32) << rank_bits
+        else:
+            tile_keys, rank_sorted = jax.lax.sort(
+                (tile_id.astype(jnp.uint32), rank), num_keys=1,
+                is_stable=True)
+            bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
         if upto == 5:
             return (rank_sorted,)
-        bound_q = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-        tbounds = jnp.searchsorted(packed, bound_q,
+        tbounds = jnp.searchsorted(tile_keys, bound_q,
                                    side="left").astype(jnp.int32)
         tile_start = tbounds[:num_tiles]
         tile_count = tbounds[1:] - tbounds[:num_tiles]

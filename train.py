@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "jnp"])
+    p.add_argument("--precision", default="fast",
+                   choices=["fast", "exact"],
+                   help="Pallas compositing precision: 'fast' = single-pass "
+                        "bf16 MXU scans with f32 accumulation (the training "
+                        "default; quality delta quantified in README), "
+                        "'exact' = CUDA-parity f32 via 3x-bf16 splits")
     p.add_argument("--mesh", type=int, default=0,
                    help="train tile-parallel over an N-device mesh "
                         "(dist/trainer.py); 0 = single-device")
@@ -171,7 +177,7 @@ def args_to_config(args):
         save_iterations=tuple(args.save_iterations),
         checkpoint_iterations=tuple(args.checkpoint_iterations),
         max_instances=args.max_instances, seed=args.seed,
-        mesh=args.mesh,
+        mesh=args.mesh, precision=args.precision,
     )
 
 
@@ -213,7 +219,8 @@ def build_scene_and_trainer(cfg, backend: str = "auto"):
                              else cfg.model.init_type),
                   num_pts=cfg.model.num_init_points)
     rcfg = RenderConfig(sh_degree=cfg.model.sh_degree, backend=backend,
-                        max_instances=cfg.max_instances or 2 ** 20)
+                        max_instances=cfg.max_instances or 2 ** 20,
+                        precision=getattr(cfg, "precision", "fast"))
     if getattr(cfg, "mesh", 0):
         if cfg.calib.outside_rasterizer or cfg.calib.cubemap:
             from bags_tpu.dist.trainer import ShardedCalibTrainer
@@ -393,7 +400,8 @@ def main(argv=None):
     def evaluate(it):
         eval_cfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                                 backend=args.backend,
-                                max_instances=cfg.max_instances)
+                                max_instances=cfg.max_instances,
+                                precision=cfg.precision)
         base = getattr(trainer.state, "base", trainer.state)
         # training_report protocol (train.py:504-518): the full test split
         # plus the first 5 train views; L1/PSNR/SSIM(/LPIPS).
@@ -464,7 +472,8 @@ def main(argv=None):
         base = getattr(trainer.state, "base", trainer.state)
         gcfg = RenderConfig(sh_degree=trainer.active_sh_degree,
                             backend=args.backend,
-                            max_instances=cfg.max_instances)
+                            max_instances=cfg.max_instances,
+                            precision=cfg.precision)
         out = render_fn(base.g.xyz, base.g.scaling(), base.g.quats,
                         base.g.opacity(base.alive), base.g.sh_coeffs(),
                         cam, static_r, gcfg, bg=trainer.bg, align=base.align)
