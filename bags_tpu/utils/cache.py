@@ -21,6 +21,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
         "BAGS_TPU_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    # Segregate by backend: the axon TPU path compiles on a REMOTE service
+    # whose host CPU differs from this machine, and its persisted CPU-side
+    # executables carry that machine's target features — loading them from a
+    # local cpu-backend process (the test suite) trips XLA's machine-feature
+    # check and can SIGILL/hang. One cache namespace per backend avoids any
+    # cross-platform entry ever being shared.
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -64,7 +64,7 @@ def _state(cfg, sc, cap):
     return state, g_tx
 
 
-def bench_fisheye(n, wh, iters):
+def bench_fisheye(n, wh, iters, precision="fast"):
     import jax
     import jax.numpy as jnp
 
@@ -111,7 +111,8 @@ def bench_fisheye(n, wh, iters):
             sc["sh_coeffs"], cam0))
     cap = snap_capacity(n_inst)
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    rcfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap)
+    rcfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap,
+                        precision=precision)
 
     fh, fw = setup.fish_hw
     fish_gt = jnp.full((3, fh, fw), 0.4, jnp.float32)
@@ -130,7 +131,7 @@ def bench_fisheye(n, wh, iters):
     return fh * fw / dt
 
 
-def bench_cubemap(n, wh, iters):
+def bench_cubemap(n, wh, iters, precision="fast"):
     import jax
     import jax.numpy as jnp
 
@@ -157,7 +158,7 @@ def bench_cubemap(n, wh, iters):
     # cubemap trains 5 full-frame renders per step at the base resolution
     rcfg = RenderConfig(sh_degree=3, backend=backend,
                         max_instances=cfg.max_instances,
-                        sort_by_distance=True)
+                        sort_by_distance=True, precision=precision)
     static = sc["static"]
     gt = jnp.full((3, wh, wh), 0.4, jnp.float32)
     bg = jnp.zeros(3)
@@ -186,6 +187,8 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--wh", type=int, default=800)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--precision", choices=["fast", "exact"], default="fast",
+                   help="compositing precision mode (see RenderConfig)")
     args = p.parse_args(argv)
 
     from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
@@ -195,16 +198,18 @@ def main(argv=None):
         warm_ssim_grad()
 
     if args.mode in ("fisheye", "both"):
-        pps = bench_fisheye(args.n, args.wh, args.iters)
+        pps = bench_fisheye(args.n, args.wh, args.iters, args.precision)
         print(json.dumps({
             "metric": "fisheye_pixels_per_s_fwd_bwd",
             "value": round(pps, 1), "unit": "pixels/s/chip",
+            "precision": args.precision,
             "vs_baseline": round(pps / BASELINE_PIXELS_PER_S, 4)}))
     if args.mode in ("cubemap", "both"):
-        pps = bench_cubemap(args.n, args.wh, args.iters)
+        pps = bench_cubemap(args.n, args.wh, args.iters, args.precision)
         print(json.dumps({
             "metric": "cubemap_pixels_per_s_fwd_bwd",
             "value": round(pps, 1), "unit": "pixels/s/chip",
+            "precision": args.precision,
             "vs_baseline": round(pps / BASELINE_PIXELS_PER_S, 4)}))
 
 

@@ -192,33 +192,33 @@ def test_train_cli_mesh_checkpoint_resume(tmp_path):
 
 
 def test_train_cli_mesh_calibrated_modes(tmp_path):
-    """--mesh + cubemap/apply2gt must hard-error, not silently train an
-    uncalibrated model (train.py mesh dispatch guard); --mesh + fisheye
-    trains via ShardedCalibTrainer and writes a CalibState checkpoint."""
+    """--mesh composes with ALL THREE calibrated modes end-to-end through
+    the CLI (round-4: cubemap and apply2gt train sharded instead of
+    raising — dist/calib.py make_sharded_cubemap_step / _gt_warp_rows;
+    numerical parity vs the single-chip steps is covered by
+    tests/test_sharded.py): each mode runs 2 iterations on a 2-device mesh
+    and writes a CalibState checkpoint."""
     import numpy as np
-    import pytest
     import train as train_cli
 
     root = str(tmp_path / "scene")
-    out = str(tmp_path / "out")
     os.makedirs(root)
     _write_colmap_scene(root, n_cams=4, n_pts=50,
                         rng=np.random.default_rng(5))
-    common = ["-s", root, "-m", out, "--sh_degree", "0", "--backend", "jnp",
-              "--max_instances", "4096", "--cap_max", "128", "--mesh", "2",
-              "--iterations", "2", "--quiet", "--test_iterations", "-1",
-              "--save_iterations", "-1"]
-    with pytest.raises(NotImplementedError, match="cubemap"):
-        train_cli.main(common + ["--cubemap",
-                                 "--checkpoint_iterations", "-1"])
-    with pytest.raises(NotImplementedError, match="apply2gt|apply-to"):
-        train_cli.main(common + ["--outside_rasterizer", "--apply2gt",
-                                 "--checkpoint_iterations", "-1"])
-    train_cli.main(common + ["--outside_rasterizer", "--opt_distortion",
-                             "--no_init_iresnet",
-                             "--densify_from_iter", "100000",
-                             "--checkpoint_iterations", "2"])
-    assert os.path.exists(os.path.join(out, "chkpnt2.npz"))
+    for mode_flags, tag in (
+            (["--outside_rasterizer", "--opt_distortion",
+              "--no_init_iresnet"], "fisheye"),
+            (["--outside_rasterizer", "--apply2gt", "--opt_distortion",
+              "--no_init_iresnet"], "apply2gt"),
+            (["--cubemap", "--no_init_iresnet"], "cubemap")):
+        out = str(tmp_path / f"out_{tag}")
+        train_cli.main(
+            ["-s", root, "-m", out, "--sh_degree", "0", "--backend", "jnp",
+             "--max_instances", "4096", "--cap_max", "128", "--mesh", "2",
+             "--iterations", "2", "--quiet", "--test_iterations", "-1",
+             "--save_iterations", "-1", "--densify_from_iter", "100000",
+             "--checkpoint_iterations", "2"] + mode_flags)
+        assert os.path.exists(os.path.join(out, "chkpnt2.npz")), tag
 
 
 def test_render_cli_test_time_pose_opt_persists(tmp_path, capsys):

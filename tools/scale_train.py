@@ -31,6 +31,20 @@ def main():
     p.add_argument("--n_cams", type=int, default=8)
     p.add_argument("--max_iters", type=int, default=4000)
     p.add_argument("--sh_degree", type=int, default=3)
+    # Growth knobs: this run's purpose is to MEASURE the >=1M-alive regime
+    # (step time, HBM, sort path), so densification is tuned to actually get
+    # there — the clone/split threshold is auto-calibrated from the measured
+    # screen-grad distribution after a warmup (absolute grad magnitudes
+    # shrink with resolution and Gaussian count, so no fixed constant works
+    # across scales), and the prune floor is low enough that pruning does
+    # not outpace growth on the synthetic scene.
+    p.add_argument("--densify_threshold", type=float, default=0.0,
+                   help="0 = auto: the --clone_frac quantile of the "
+                        "alive screen-grad stats measured at warmup")
+    p.add_argument("--clone_frac", type=float, default=0.3,
+                   help="auto mode: fraction of alive Gaussians above the "
+                        "chosen threshold per densify round")
+    p.add_argument("--min_opacity", type=float, default=5e-4)
     args = p.parse_args()
 
     import jax
@@ -72,13 +86,13 @@ def main():
 
     gt_cfg = RenderConfig(sh_degree=args.sh_degree, backend=backend,
                           max_instances=2 ** 22)
+    gt_render = jax.jit(lambda c: render(
+        gt_scene["xyz"], gt_scene["scales"], gt_scene["quats"],
+        gt_scene["opacity"], gt_scene["sh_coeffs"], c, static,
+        gt_cfg).render)
     gt_imgs = []
     for i in range(args.n_cams):
-        img = jax.jit(lambda c: render(
-            gt_scene["xyz"], gt_scene["scales"], gt_scene["quats"],
-            gt_scene["opacity"], gt_scene["sh_coeffs"], c, static,
-            gt_cfg).render)(cams[i])
-        gt_imgs.append(np.asarray(jax.block_until_ready(img)))
+        gt_imgs.append(np.asarray(jax.block_until_ready(gt_render(cams[i]))))
     gt = jnp.asarray(np.stack(gt_imgs))
     print(f"GT rendered: {gt.shape}", flush=True)
 
@@ -93,11 +107,15 @@ def main():
     cfg = TrainConfig(
         opt=OptimizationConfig(
             densify_from_iter=100, densify_until_iter=args.max_iters,
-            densification_interval=100, densify_grad_threshold=5e-6,
+            densification_interval=100,
+            # placeholder until the post-warmup calibration below; large so
+            # an accidental densify before calibration is a no-op
+            densify_grad_threshold=args.densify_threshold or 1e9,
             opacity_reset_interval=10 ** 9),
         calib=CalibConfig(opt_cam=False, opt_intrinsic=False),
         max_instances=0, auto_capacity=True)
     cfg.model.sh_degree = args.sh_degree
+    cfg.opacity_threshold = args.min_opacity
 
     trainer = Trainer(g, alive, cam_b, static, cfg, scene_extent=3.0,
                       gt_images=gt, rcfg=None)
@@ -110,6 +128,26 @@ def main():
         backend=backend, sh_degree=args.sh_degree)
     cfg.max_instances = cap0
     print(f"initial instance capacity: {cap0}", flush=True)
+
+    # Warmup, then calibrate the densify threshold from the MEASURED
+    # screen-grad distribution (99 iters: densify first fires at it>100,
+    # so none run during warmup; the stat accumulators are live).
+    trainer.run(iterations=99)
+    if args.densify_threshold:
+        thr = args.densify_threshold
+    else:
+        st = trainer.state.stats
+        grads = np.asarray(st.grad_accum) / np.maximum(
+            np.asarray(st.denom), 1.0)
+        alive_np = np.asarray(trainer.state.alive)
+        thr = float(np.quantile(grads[alive_np],
+                                1.0 - args.clone_frac))
+        print(f"calibrated densify threshold: {thr:.3e} "
+              f"(q{1 - args.clone_frac:.2f} of {int(alive_np.sum())} "
+              f"alive grad stats)", flush=True)
+    cfg.opt.densify_grad_threshold = thr
+    from bags_tpu.train.loop import make_densify_step
+    trainer.densify_step = make_densify_step(cfg, 3.0)
 
     tiles_x, tiles_y = binning.tile_grid(W, H)
     rank_bits = 32 - int(tiles_x * tiles_y).bit_length()
@@ -162,7 +200,8 @@ def main():
         "capacity": n_final,
         "alive_final": n_alive,
         "reached_target": n_alive >= args.target_alive,
-        "median_step_s_at_target": round(med_step, 4),
+        "median_step_s_at_target": (round(med_step, 4)
+                                    if step_times else None),
         "pixels_per_s_at_target": (round(W * H / med_step, 1)
                                    if step_times else None),
         "hbm_bytes_in_use": mem.get("bytes_in_use"),
