@@ -401,7 +401,7 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
                                                  (3, nr, W)))
         cam_qs = jnp.concatenate([cam.q_init[None], sub_q], axis=0)
         cam_ts = jnp.concatenate([cam.t_init[None], sub_t], axis=0)
-        is_face0 = jnp.arange(5) == 0
+        is_face0 = jnp.arange(len(cubemap_lib.FACES)) == 0
 
         def face_body(carry, xs):
             total, radii, n_drop = carry

@@ -203,31 +203,62 @@ def load_torch_pth(path: str) -> dict:
 
 
 # --------------------------------------------------------------------------
-# VGG16 / LPIPS structure (static — mirrors torchvision vgg16().features
-# and tools/convert_lpips.py): conv positions, pool positions, and the five
-# tapped ReLUs (conv1_2, 2_2, 3_3, 4_3, 5_3).
+# Backbone structure tables (static — mirror torchvision's vgg16().features
+# and alexnet().features, as instantiated by the reference's LPIPS module,
+# /root/reference/utils/lpipsPyTorch/modules/networks.py:76-96):
+#   VGG16: 13 3x3/s1/p1 convs, 2x2/s2 max-pools, taps at the five ReLUs
+#     conv1_2, 2_2, 3_3, 4_3, 5_3 (target_layers [4,9,16,23,30]);
+#   AlexNet-OWT: 5 convs (11x11/s4/p2, 5x5/s1/p2, then 3x3/s1/p1), 3x3/s2
+#     max-pools after the first two ReLUs, ALL five ReLUs tapped
+#     (target_layers [2,5,8,10,12]) — the reference's in-loop DEFAULT
+#     (lpipsPyTorch/__init__.py:8).
 # --------------------------------------------------------------------------
 
 VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
 _POOL_AFTER_CONV = [1, 3, 6, 9]          # pool before conv i+1
 _TAPS = {1: 0, 3: 1, 6: 2, 9: 3, 12: 4}  # conv_i -> lpips layer k
 
+ALEX_CONV_IDX = [0, 3, 6, 8, 10]
+ALEX_STRIDES = [4, 1, 1, 1, 1]
+ALEX_PADS = [2, 2, 1, 1, 1]
+_ALEX_POOL_AFTER_CONV = [0, 1]           # MaxPool(3, 2) after these ReLUs
 
-def convert_state_dicts(backbone_sd: dict, lin_sd: dict) -> dict:
-    """(vgg16 state dict, lpips-linear state dict) -> the npz layout
-    `eval/metrics.py::Lpips` consumes."""
+
+def convert_state_dicts(backbone_sd: dict, lin_sd: dict,
+                        net: str = "vgg") -> dict:
+    """(backbone state dict, lpips-linear state dict) -> the npz layout
+    `eval/metrics.py::Lpips` consumes. `net` selects the backbone
+    structure table ('vgg' = torchvision vgg16, 'alex' = alexnet-owt)."""
+    if net == "vgg":
+        conv_idx, pools, taps = VGG16_CONV_IDX, _POOL_AFTER_CONV, _TAPS
+    elif net == "alex":
+        conv_idx = ALEX_CONV_IDX
+        pools = _ALEX_POOL_AFTER_CONV
+        taps = {i: i for i in range(5)}
+    else:
+        raise ValueError(f"net must be 'vgg' or 'alex', got {net!r}")
     arrays = {}
-    for conv_i, feat_idx in enumerate(VGG16_CONV_IDX):
+    for conv_i, feat_idx in enumerate(conv_idx):
         for suffix, out in (("weight", "w"), ("bias", "b")):
             key = f"features.{feat_idx}.{suffix}"
             if key not in backbone_sd:
                 raise KeyError(f"backbone file lacks {key} — not a "
-                               "torchvision vgg16 checkpoint?")
+                               f"torchvision {net} checkpoint?")
             arrays[f"conv{conv_i}_{out}"] = np.asarray(
                 backbone_sd[key], np.float32)
-    for conv_i in _POOL_AFTER_CONV:
-        arrays[f"pool_after_{conv_i}"] = np.asarray(1)
-    for conv_i, k in _TAPS.items():
+        if net == "alex":
+            # non-default conv geometry is carried in the bundle so the
+            # executor stays architecture-agnostic (absent keys mean the
+            # VGG defaults: stride 1, SAME padding, 2x2/s2 pools).
+            arrays[f"conv{conv_i}_stride"] = np.asarray(ALEX_STRIDES[conv_i])
+            arrays[f"conv{conv_i}_pad"] = np.asarray(ALEX_PADS[conv_i])
+    for conv_i in pools:
+        if net == "alex":
+            arrays[f"pool_after_{conv_i}_k"] = np.asarray(3)
+            arrays[f"pool_after_{conv_i}_s"] = np.asarray(2)
+        else:
+            arrays[f"pool_after_{conv_i}"] = np.asarray(1)
+    for conv_i, k in taps.items():
         arrays[f"tap_{conv_i}"] = np.asarray(k)
     for k in range(5):
         for key in (f"lin{k}.model.1.weight", f"lin.{k}.model.1.weight",
@@ -237,22 +268,41 @@ def convert_state_dicts(backbone_sd: dict, lin_sd: dict) -> dict:
         else:
             raise KeyError(
                 f"no linear weight for tap {k} in {sorted(lin_sd)[:6]} — "
-                "not an LPIPS v0.1 vgg.pth?")
+                f"not an LPIPS v0.1 {net}.pth?")
         arrays[f"lin{k}_w"] = np.asarray(lin_sd[key],
                                          np.float32).reshape(-1)
     return arrays
 
 
-def load_official_dir(path: str) -> dict:
-    """Resolve a directory holding the two untouched upstream files
-    (any `vgg16*.pth` backbone + `vgg.pth`/other .pth linear file) into
-    the npz-layout dict."""
+def load_official_dir(path: str, net: str = None) -> dict:
+    """Resolve a directory holding the two untouched upstream files into
+    the npz-layout dict: a torchvision backbone (`vgg16*.pth` or
+    `alexnet*.pth`) plus the matching LPIPS v0.1 linear file (`vgg.pth` /
+    `alex.pth`). `net` picks the pair when both are present; when None,
+    prefers alex (the reference's in-loop default) if its files exist."""
     files = sorted(f for f in os.listdir(path) if f.endswith(".pth"))
-    backbone = next((f for f in files if f.startswith("vgg16")), None)
-    lin = next((f for f in files if f != backbone), None)
-    if backbone is None or lin is None:
-        raise FileNotFoundError(
-            f"{path}: need a torchvision vgg16*.pth and the LPIPS v0.1 "
-            f"vgg.pth (found {files})")
-    return convert_state_dicts(load_torch_pth(os.path.join(path, backbone)),
-                               load_torch_pth(os.path.join(path, lin)))
+    pairs = {
+        "alex": (next((f for f in files if f.startswith("alexnet")), None),
+                 "alex.pth" if "alex.pth" in files else None),
+        "vgg": (next((f for f in files if f.startswith("vgg16")), None),
+                next((f for f in files
+                      if f == "vgg.pth" or
+                      (not f.startswith(("vgg16", "alexnet"))
+                       and f != "alex.pth")), None)),
+    }
+    order = ["alex", "vgg"]
+    if net in pairs:
+        # preference, not a hard requirement: fall back to the other pair
+        # if the preferred one is incomplete
+        order.remove(net)
+        order.insert(0, net)
+    for cand in order:
+        backbone, lin = pairs.get(cand, (None, None))
+        if backbone and lin:
+            return convert_state_dicts(
+                load_torch_pth(os.path.join(path, backbone)),
+                load_torch_pth(os.path.join(path, lin)), net=cand)
+    raise FileNotFoundError(
+        f"{path}: need a torchvision backbone (vgg16*.pth / alexnet*.pth) "
+        f"plus its LPIPS v0.1 linear file (vgg.pth / alex.pth); "
+        f"found {files}" + (f" for net={net}" if net else ""))

@@ -31,36 +31,70 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 class Lpips:
-    """LPIPS from a local weights bundle (VGG16-style feature stack).
+    """LPIPS from a local weights bundle (vgg16 or alexnet backbone).
 
-    weights npz layout: conv{i}_w/conv{i}_b for the backbone convs and
-    lin{k}_w for the per-layer linear calibration, as exported from the
-    standard LPIPS release. If no file is found, `available` is False and
-    __call__ returns NaN.
+    weights npz layout: conv{i}_w/conv{i}_b for the backbone convs,
+    optional conv{i}_stride / conv{i}_pad / pool_after_{i}[_k/_s] geometry
+    keys (absent = the VGG16 defaults), and lin{k}_w for the per-layer
+    linear calibration, as exported from the standard LPIPS release
+    (tools/convert_lpips.py, eval/lpips_weights.py). `net` selects the
+    backbone pair when `weights_path` is a directory of upstream .pth
+    files ('alex' = the reference's in-loop default, 'vgg' = its offline
+    metrics.py choice); npz bundles are self-describing. If no file is
+    found, `available` is False and __call__ returns NaN (callers
+    annotate it as "n/a" rather than printing the NaN).
     """
 
-    def __init__(self, weights_path: Optional[str] = None):
+    def __init__(self, weights_path: Optional[str] = None,
+                 net: Optional[str] = None):
         weights_path = weights_path or os.environ.get("BAGS_TPU_LPIPS_WEIGHTS")
         self.available = bool(weights_path and os.path.exists(weights_path))
+        self.net = None
         if self.available:
             if os.path.isdir(weights_path):
-                # Directory of the two untouched upstream torch files
-                # (torchvision vgg16*.pth + LPIPS v0.1 vgg.pth), parsed
-                # without torch — see eval/lpips_weights.py.
+                # Directory of untouched upstream torch files (torchvision
+                # vgg16*/alexnet* backbone + LPIPS v0.1 linear), parsed
+                # without torch — see eval/lpips_weights.py. `net` picks
+                # the backbone when the directory holds both.
                 from .lpips_weights import load_official_dir
-                data = load_official_dir(weights_path)
+                data = load_official_dir(weights_path, net=net)
                 names = list(data)
             else:
+                # npz bundles are self-describing (stride/pad/pool keys);
+                # `net` is ignored.
                 data = np.load(weights_path)
                 names = list(data.files)
-            self.params = {k: jnp.asarray(data[k]) for k in names}
-            self.cfg = [int(k.split("_")[0][4:]) for k in names
-                        if k.endswith("_w") and k.startswith("conv")]
+            self.params = {k: jnp.asarray(data[k]) for k in names
+                           if k.endswith(("_w", "_b"))}
+            # Static layer geometry, read host-side so the forward stays
+            # jittable: per conv (stride, pad-or-None-for-SAME, tapped,
+            # pool (k, s) or None). Absent keys mean the VGG16 defaults.
+            n_conv = sum(1 for k in names
+                         if k.startswith("conv") and k.endswith("_w"))
+            arch = []
+            for i in range(n_conv):
+                if f"pool_after_{i}_k" in names:
+                    pool = (int(data[f"pool_after_{i}_k"]),
+                            int(data[f"pool_after_{i}_s"]))
+                elif f"pool_after_{i}" in names:
+                    pool = (2, 2)
+                else:
+                    pool = None
+                arch.append((
+                    int(data[f"conv{i}_stride"])
+                    if f"conv{i}_stride" in names else 1,
+                    int(data[f"conv{i}_pad"])
+                    if f"conv{i}_pad" in names else None,
+                    f"tap_{i}" in names,
+                    pool))
+            self.arch = tuple(arch)
+            self.net = ("alex" if any(s != 1 for s, _, _, _ in arch)
+                        else "vgg")
 
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
         if not self.available:
             return jnp.asarray(jnp.nan)
-        return _lpips_forward(self.params, img1, img2)
+        return _lpips_forward(self.params, self.arch, img1, img2)
 
 
 def _normalize_input(img):
@@ -70,24 +104,25 @@ def _normalize_input(img):
     return ((img * 2.0 - 1.0) - shift) / scale
 
 
-def _lpips_forward(params, img1, img2):
+def _lpips_forward(params, arch, img1, img2):
     def features(x):
         feats = []
         h = _normalize_input(x)[None]
-        i = 0
-        while f"conv{i}_w" in params:
+        for i, (stride, pad, tapped, pool) in enumerate(arch):
             w, b = params[f"conv{i}_w"], params[f"conv{i}_b"]
+            padding = "SAME" if pad is None else [(pad, pad), (pad, pad)]
             h = jax.lax.conv_general_dilated(
-                h, w, (1, 1), "SAME",
+                h, w, (stride, stride), padding,
                 dimension_numbers=("NCHW", "OIHW", "NCHW")) + b.reshape(1, -1, 1, 1)
             h = jax.nn.relu(h)
             # LPIPS taps the ReLU output BEFORE any pooling.
-            if f"tap_{i}" in params:
+            if tapped:
                 feats.append(h)
-            if f"pool_after_{i}" in params:
-                h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
-                                          (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
-            i += 1
+            if pool is not None:
+                pk, ps = pool
+                h = jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max,
+                    (1, 1, pk, pk), (1, 1, ps, ps), "VALID")
         return feats
 
     f1, f2 = features(img1), features(img2)

@@ -50,6 +50,103 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
             + v10 * (1 - tx) * ty + v11 * tx * ty)
 
 
+def required_ky(grid: jnp.ndarray, image_h: int, band: int = 8,
+                align_corners: bool = True) -> int:
+    """Source-row window height `banded_warp` needs for this grid: the max
+    over output row bands of the in-image source-row span. Run once at
+    setup on the initial flow field; pass the result (with margin — the
+    lens field evolves during training) as banded_warp's `ky`."""
+    gy = np.asarray(grid[..., 1], np.float32)
+    h = image_h
+    fy = (gy + 1.0) * 0.5 * (h - 1) if align_corners else \
+        ((gy + 1.0) * h - 1.0) * 0.5
+    ho = fy.shape[0]
+    nb = -(-ho // band)
+    fy = np.pad(fy, ((0, nb * band - ho), (0, 0)), constant_values=h + 10.0)
+    fy = fy.reshape(nb, -1)
+    valid = (fy > -1.0) & (fy < h)
+    lo = np.floor(np.min(np.where(valid, fy, h), axis=1))
+    hi = np.floor(np.max(np.where(valid, fy, -1.0), axis=1)) + 1.0
+    return int(max(np.max(np.minimum(hi, h - 1) - np.maximum(lo, 0) + 1),
+                   2))
+
+
+def banded_warp(image: jnp.ndarray, grid: jnp.ndarray, ky: int,
+                band: int = 8, align_corners: bool = True,
+                precision=jax.lax.Precision.HIGHEST
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`grid_sample` without gathers — the TPU-native lens warp.
+
+    XLA lowers the 4-tap advanced-index gather in `grid_sample` to a
+    scalar-core gather (~8 ns/element) and its VJP to scatter-adds; at
+    full resolution that op — not HBM, not the MXU — dominates the whole
+    calibrated train step. This formulation exploits the lens flow's row
+    coherence instead: output rows are processed in bands of `band`; each
+    band's in-image source rows span a bounded window (height `ky`,
+    measured by `required_ky`) that is dynamic-sliced out, and bilinear
+    sampling becomes two tent-weight contractions
+
+        out[p] = sum_k relu(1-|fy_p-row_k|) * sum_x relu(1-|fx_p-x|) * win[k,x]
+
+    where the inner sum is a (P, W) x (C*ky, W)^T matmul on the MXU
+    (the tent functions ARE the bilinear weights: 2 nonzero taps each, so
+    the contraction is numerically the 4-tap formula with exact zeros
+    elsewhere). Zeros padding falls out for free — out-of-image taps
+    never overlap a window row/column. The VJP is matmuls again (no
+    scatters): d_window flows through the einsum transpose and
+    accumulates into d_image via the dynamic-slice transpose.
+
+    Returns (warped (C, Ho, Wo), overflow). `overflow` counts in-image
+    source rows that fell outside a band's ky-window (result: those taps
+    contributed zero — WRONG values). It is 0 whenever ky >= the true
+    span; train loops should monitor it like the raster's n_dropped and
+    re-trace with a larger ky if it ever fires.
+    """
+    c, h, w = image.shape
+    ho, wo = grid.shape[:2]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    kyc = min(ky, h)
+    nb = -(-ho // band)
+    pad = nb * band - ho
+    # padded rows are invalid (fy far outside) -> all-zero output, trimmed
+    fx_b = jnp.pad(fx, ((0, pad), (0, 0))).reshape(nb, band * wo)
+    fy_b = jnp.pad(fy, ((0, pad), (0, 0)),
+                   constant_values=h + 10.0).reshape(nb, band * wo)
+    xs_iota = jnp.arange(w, dtype=jnp.float32)
+    ks_iota = jnp.arange(kyc, dtype=jnp.float32)
+
+    def body(_, xs):
+        fx_p, fy_p = xs                     # (band*wo,)
+        valid = (fy_p > -1.0) & (fy_p < h)
+        y_min = jnp.floor(jnp.min(jnp.where(valid, fy_p, float(h))))
+        y_max = jnp.floor(jnp.max(jnp.where(valid, fy_p, -1.0))) + 1.0
+        y0 = jnp.clip(y_min, 0.0, float(max(h - kyc, 0))).astype(jnp.int32)
+        win = jax.lax.dynamic_slice(image, (0, y0, 0), (c, kyc, w))
+        # tent = the bilinear kernel: relu(1 - |fx - x|) is exactly
+        # (1-tx) at x0=floor(fx) and tx at x0+1, zero elsewhere
+        wx = jax.nn.relu(1.0 - jnp.abs(fx_p[:, None] - xs_iota[None, :]))
+        rows = y0.astype(jnp.float32) + ks_iota
+        wy = jax.nn.relu(1.0 - jnp.abs(fy_p[:, None] - rows[None, :]))
+        t = jnp.einsum("px,ckx->pck", wx, win, precision=precision)
+        out = jnp.einsum("pck,pk->cp", t, wy, precision=precision)
+        over = jnp.maximum(
+            jnp.minimum(y_max, float(h - 1))
+            - (y0.astype(jnp.float32) + (kyc - 1)), 0.0)
+        return None, (out, over)
+
+    _, (outs, over) = jax.lax.scan(body, None, (fx_b, fy_b))
+    warped = outs.reshape(nb, c, band, wo).transpose(1, 0, 2, 3)
+    warped = warped.reshape(c, nb * band, wo)[:, :ho]
+    return warped, jnp.sum(over).astype(jnp.int32)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear', align_corners=False) equivalent
     (half-pixel centers). x: (..., H, W)."""

@@ -31,7 +31,9 @@ def main(argv=None):
 
     from bags_tpu.eval.metrics import Lpips, psnr, ssim
 
-    lpips = Lpips()
+    # the reference's offline metrics CLI uses the vgg backbone
+    # (/root/reference/metrics.py:78); in-loop eval uses alex
+    lpips = Lpips(net="vgg")
     # one trace per image shape (constant within a run)
     psnr_j = jax.jit(psnr)
     ssim_j = jax.jit(ssim)
@@ -58,17 +60,23 @@ def main(argv=None):
                     g = jnp.asarray(g[..., :3].transpose(2, 0, 1))
                     psnrs.append(float(psnr_j(r, g)))
                     ssims.append(float(ssim_j(r, g)))
-                    lpipss.append(float(lpips(r, g)))
+                    if lpips.available:
+                        lpipss.append(float(lpips(r, g)))
                 key = f"{split}/{method}"
+                # Annotated fallback instead of a silent NaN so a missing
+                # weights bundle cannot be misread as a real NaN bug.
+                lpips_na = "n/a (no weights)"
                 full[key] = {
                     "PSNR": float(np.mean(psnrs)),
                     "SSIM": float(np.mean(ssims)),
-                    "LPIPS": float(np.mean(lpipss)),
+                    "LPIPS": (float(np.mean(lpipss)) if lpipss
+                              else lpips_na),
                 }
                 per_view[key] = {
                     "PSNR": dict(zip(names, psnrs)),
                     "SSIM": dict(zip(names, ssims)),
-                    "LPIPS": dict(zip(names, lpipss)),
+                    "LPIPS": (dict(zip(names, lpipss)) if lpipss
+                              else lpips_na),
                 }
                 print(f"{model_path} {key}: PSNR {full[key]['PSNR']:.3f} "
                       f"SSIM {full[key]['SSIM']:.4f}")

@@ -160,6 +160,117 @@ def test_lpips_loads_official_file_pair(tmp_path):
     assert float(lp2(a, b)) == pytest.approx(diff, rel=1e-6)
 
 
+def _fake_alexnet_sd(rng, torch, width=6):
+    """AlexNet-shaped state dict (torchvision key layout, tiny channels,
+    REAL geometry: 11x11/s4/p2, 5x5/p2, 3x3/p1 convs)."""
+    from bags_tpu.eval.lpips_weights import ALEX_CONV_IDX
+
+    kernels = [11, 5, 3, 3, 3]
+    sd = {}
+    c_in = 3
+    for conv_i, idx in enumerate(ALEX_CONV_IDX):
+        k = kernels[conv_i]
+        sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.normal(0, 0.2, (width, c_in, k, k)).astype(np.float32))
+        sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.normal(0, 0.01, width).astype(np.float32))
+        c_in = width
+    return sd
+
+
+def _fake_alex_lin_sd(rng, torch, width=6):
+    return {f"lin{k}.model.1.weight": torch.tensor(
+        np.abs(rng.normal(0, 0.1, (1, width, 1, 1))).astype(np.float32))
+        for k in range(5)}
+
+
+def test_lpips_alex_matches_torch_oracle(tmp_path):
+    """The alex-arch executor (strided conv0, explicit pads, 3x3/s2 pools)
+    matches a torch transcription of the reference's AlexNet LPIPS
+    (lpipsPyTorch/modules/networks.py:79-85) on the same fake weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from bags_tpu.eval.lpips_weights import (ALEX_CONV_IDX, ALEX_PADS,
+                                             ALEX_STRIDES,
+                                             convert_state_dicts)
+
+    rng = np.random.default_rng(7)
+    sd = _fake_alexnet_sd(rng, torch)
+    lin_sd = _fake_alex_lin_sd(rng, torch)
+    arrays = convert_state_dicts(
+        {k: v.numpy() for k, v in sd.items()},
+        {k: v.numpy() for k, v in lin_sd.items()}, net="alex")
+    npz = str(tmp_path / "alex.npz")
+    np.savez(npz, **arrays)
+    lp = Lpips(weights_path=npz)
+    assert lp.available and lp.net == "alex"
+    # geometry decoded from the bundle matches the structure table
+    assert [a[0] for a in lp.arch] == ALEX_STRIDES
+    assert [a[1] for a in lp.arch] == ALEX_PADS
+    assert [a[3] for a in lp.arch] == [(3, 2), (3, 2), None, None, None]
+
+    def torch_feats(x):
+        mean = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+        std = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+        h = ((x * 2.0 - 1.0) - mean) / std
+        feats = []
+        for i, idx in enumerate(ALEX_CONV_IDX):
+            h = F.conv2d(h, sd[f"features.{idx}.weight"],
+                         sd[f"features.{idx}.bias"],
+                         stride=ALEX_STRIDES[i], padding=ALEX_PADS[i])
+            h = F.relu(h)
+            norm = torch.sqrt(torch.sum(h ** 2, dim=1, keepdim=True))
+            feats.append(h / torch.clamp(norm, min=1e-10))
+            if i in (0, 1):
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return feats
+
+    a = np.random.default_rng(8).uniform(0, 1, (3, 96, 96)).astype(
+        np.float32)
+    b = np.clip(a + 0.1 * np.random.default_rng(9).normal(
+        size=a.shape).astype(np.float32), 0, 1)
+    fa = torch_feats(torch.tensor(a)[None])
+    fb = torch_feats(torch.tensor(b)[None])
+    want = 0.0
+    for k, (x, y) in enumerate(zip(fa, fb)):
+        d = (x - y) ** 2
+        w = torch.tensor(arrays[f"lin{k}_w"]).view(1, -1, 1, 1)
+        want += float((d * w).sum(1).mean())
+    got = float(lp(a, b))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_lpips_alex_official_dir_and_fallback(tmp_path):
+    """load_official_dir resolves the alexnet pair; Lpips(net='alex') on a
+    vgg-only directory falls back to vgg instead of failing."""
+    import torch
+
+    rng = np.random.default_rng(11)
+    d = tmp_path / "weights"
+    d.mkdir()
+    torch.save(_fake_alexnet_sd(rng, torch), str(d / "alexnet-owt.pth"))
+    torch.save(_fake_alex_lin_sd(rng, torch), str(d / "alex.pth"))
+    lp = Lpips(weights_path=str(d), net="alex")
+    assert lp.available and lp.net == "alex"
+    a = np.random.default_rng(12).uniform(0, 1, (3, 64, 64)).astype(
+        np.float32)
+    assert float(lp(a, a)) == pytest.approx(0.0, abs=1e-6)
+    assert float(lp(a, np.clip(a + 0.2, 0, 1))) > 0
+
+    d2 = tmp_path / "vgg_only"
+    d2.mkdir()
+    torch.save(_fake_vgg16_sd(rng, torch), str(d2 / "vgg16-397923af.pth"))
+    torch.save(_fake_lin_sd(rng, torch), str(d2 / "vgg.pth"))
+    lp2 = Lpips(weights_path=str(d2), net="alex")
+    assert lp2.available and lp2.net == "vgg"
+    # and net=None on a dir holding BOTH pairs prefers alex
+    torch.save(_fake_alexnet_sd(rng, torch), str(d2 / "alexnet-owt.pth"))
+    torch.save(_fake_alex_lin_sd(rng, torch), str(d2 / "alex.pth"))
+    lp3 = Lpips(weights_path=str(d2))
+    assert lp3.net == "alex"
+
+
 def test_lpips_unavailable_returns_nan():
     lp = Lpips(weights_path=None)
     assert not lp.available

@@ -137,14 +137,17 @@ def main():
         thr = args.densify_threshold
     else:
         st = trainer.state.stats
-        grads = np.asarray(st.grad_accum) / np.maximum(
-            np.asarray(st.denom), 1.0)
-        alive_np = np.asarray(trainer.state.alive)
-        thr = float(np.quantile(grads[alive_np],
-                                1.0 - args.clone_frac))
+        denom_np = np.asarray(st.denom)
+        grads = np.asarray(st.grad_accum) / np.maximum(denom_np, 1.0)
+        # Quantile over alive Gaussians that were actually VISIBLE during
+        # warmup (denom > 0): off-screen Gaussians have mean grad exactly 0
+        # and would drag the quantile toward 0, making the first densify
+        # rounds clone far more than clone_frac.
+        seen = np.asarray(trainer.state.alive) & (denom_np > 0)
+        thr = float(np.quantile(grads[seen], 1.0 - args.clone_frac))
         print(f"calibrated densify threshold: {thr:.3e} "
-              f"(q{1 - args.clone_frac:.2f} of {int(alive_np.sum())} "
-              f"alive grad stats)", flush=True)
+              f"(q{1 - args.clone_frac:.2f} of {int(seen.sum())} "
+              f"visible alive grad stats)", flush=True)
     cfg.opt.densify_grad_threshold = thr
     from bags_tpu.train.loop import make_densify_step
     trainer.densify_step = make_densify_step(cfg, 3.0)

@@ -343,7 +343,9 @@ def main(argv=None):
     from bags_tpu.eval.metrics import Lpips
     from bags_tpu.train.losses import ssim as ssim_fn
 
-    lpips_fn = Lpips()
+    # In-loop LPIPS defaults to the alex backbone like the reference
+    # (utils/lpipsPyTorch/__init__.py:8); metrics.py keeps vgg offline.
+    lpips_fn = Lpips(net="alex")
 
     # One jitted eval renderer per RenderConfig (the active SH degree
     # changes at the 1k ramp); eager per-view rendering pays per-op
