@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.image import center_crop_resample, grid_sample, resize_bilinear
+from ..utils.image import (banded_warp, center_crop_resample, grid_sample,
+                           resize_bilinear)
 from .iresnet import IResNetParams, iresnet_forward
 
 
@@ -206,3 +207,51 @@ def apply_distortion(lens_params: IResNetParams, p_view: jnp.ndarray,
         mask = (~((warped[0] == 0.0) & (warped[1] == 0.0)))[None].astype(
             warped.dtype)
     return warped, mask, flow
+
+
+def apply_distortion_banded(lens_params: IResNetParams, p_view: jnp.ndarray,
+                            grid_hw: Tuple[int, int], image: jnp.ndarray,
+                            proj_scale: jnp.ndarray,
+                            out_hw: Tuple[int, int], warp_ky: int,
+                            final_hw: Optional[Tuple[int, int]] = None,
+                            apply2gt: bool = False,
+                            flow: Optional[jnp.ndarray] = None,
+                            band: int = 32):
+    """`apply_distortion` with the gather-free banded warp (fast-mode path).
+
+    Same semantics, two deliberate numerical deviations, both bounded:
+      * the full-resolution warp runs through `utils/image.banded_warp`
+        with DEFAULT (bf16-operand) matmul precision — max abs pixel error
+        ~4e-3 vs the f32 gather warp (tools/warpbench.py), consistent with
+        the fast compositing mode's own operand error; exact mode keeps
+        the gather `apply_distortion`;
+      * the final center crop samples at exactly-integer positions, so it
+        is taken as a literal slice instead of replaying the reference's
+        linspace->NDC->pixel round trip (<= 1 ulp difference).
+
+    Returns (warped, mask, flow, overflow) — `overflow` > 0 means the
+    static `warp_ky` source-row window was too small for the current lens
+    field and the result has zero-filled taps; train loops re-trace with a
+    larger ky (CalibTrainer's warp-ky ladder), mirroring the raster's
+    instance-capacity ladder.
+    """
+    if flow is None:
+        flow = compute_flow(lens_params, p_view, grid_hw, proj_scale, out_hw,
+                            sensor_to_frustum=apply2gt)
+    warped, overflow = banded_warp(image, flow, ky=warp_ky, band=band,
+                                   precision=jax.lax.Precision.DEFAULT)
+    if not apply2gt and final_hw is not None and \
+            final_hw != warped.shape[-2:]:
+        hf, wf = warped.shape[-2:]
+        sy, sx = (hf - final_hw[0]) // 2, (wf - final_hw[1]) // 2
+        if sy >= 0 and sx >= 0:
+            warped = warped[:, sy:sy + final_hw[0], sx:sx + final_hw[1]]
+        else:
+            warped = center_crop_resample(warped, final_hw[0], final_hw[1])
+    if apply2gt:
+        mask = (~((warped[0] < 1e-5) & (warped[1] < 1e-5)))[None].astype(
+            warped.dtype)
+    else:
+        mask = (~((warped[0] == 0.0) & (warped[1] == 0.0)))[None].astype(
+            warped.dtype)
+    return warped, mask, flow, overflow

@@ -17,6 +17,7 @@ runs the contraction x <- y - g(x), which converges geometrically; a
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import jax
@@ -96,29 +97,74 @@ def _block_residual(params: IResNetParams, b: int, x: jnp.ndarray
     return h
 
 
+def _solve_fixed_point(params: IResNetParams, b: int, y: jnp.ndarray,
+                       tol: float = 1e-6) -> jnp.ndarray:
+    """x* = y - g_b(x*) by damped-free fixed-point iteration with early
+    exit (the map is a contraction: ||J_g|| <= LIPSCHITZ < 1)."""
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(y)))
+
+    def cond(c):
+        i, _, err = c
+        return jnp.logical_and(i < INVERSE_ITERS, err > tol * scale)
+
+    def body(c):
+        i, x, _ = c
+        xn = y - _block_residual(params, b, x)
+        return i + 1, xn, jnp.max(jnp.abs(xn - x))
+
+    _, x, _ = jax.lax.while_loop(cond, body, (0, y, jnp.inf))
+    return x
+
+
+def _block_inverse_fwd(b, params, y):
+    x = _solve_fixed_point(params, b, y)
+    return x, (params, x)
+
+
+def _block_inverse_bwd(b, res, v):
+    """Implicit-function-theorem VJP of the fixed point x = y - g(x):
+    solve the ADJOINT fixed point u = v - J_g^T u (same contraction rate),
+    then theta_cot = -g_theta^T u and y_cot = u — instead of
+    differentiating through every forward iteration (which costs
+    O(INVERSE_ITERS) MLP VJPs and dominated the whole fisheye step)."""
+    params, x = res
+    _, vjp_fn = jax.vjp(lambda p, xx: _block_residual(p, b, xx), params, x)
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(v)))
+
+    def cond(c):
+        i, _, err = c
+        return jnp.logical_and(i < INVERSE_ITERS, err > 1e-6 * scale)
+
+    def body(c):
+        i, u, _ = c
+        un = v - vjp_fn(u)[1]
+        return i + 1, un, jnp.max(jnp.abs(un - u))
+
+    _, u, _ = jax.lax.while_loop(cond, body, (0, v, jnp.inf))
+    p_cot = jax.tree_util.tree_map(lambda t: -t, vjp_fn(u)[0])
+    return p_cot, u
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _block_inverse(b: int, params: IResNetParams, y: jnp.ndarray
+                   ) -> jnp.ndarray:
+    return _solve_fixed_point(params, b, y)
+
+
+_block_inverse.defvjp(_block_inverse_fwd, _block_inverse_bwd)
+
+
 def iresnet_forward(params: IResNetParams, x: jnp.ndarray,
                     sensor_to_frustum: bool = True) -> jnp.ndarray:
     """Apply the INN. sensor_to_frustum=True runs the forward composition;
     False runs the exact inverse by fixed-point iteration
-    (`iResNet.forward`, scene/iresnet.py:38-42)."""
+    (`iResNet.forward`, scene/iresnet.py:38-42) with an
+    implicit-differentiation custom VJP."""
     n_blocks = len(params.weights)
     if sensor_to_frustum:
         for b in range(n_blocks):
             x = x + _block_residual(params, b, x)
         return x
     for b in reversed(range(n_blocks)):
-        y = x
-
-        # remat: under reverse-mode AD the fori_loop is scan-converted and
-        # would otherwise store every iteration's 512-wide MLP activations
-        # (INVERSE_ITERS x n_pts x HIDDEN x n_layers floats — 21 GB at a
-        # 100x100 control grid); checkpointing the residual keeps only the
-        # (n_pts, 2) carries and recomputes g in the backward.
-        g_ckpt = jax.checkpoint(
-            lambda xk, b=b: _block_residual(params, b, xk))
-
-        def body(_, xk):
-            return y - g_ckpt(xk)
-
-        x = jax.lax.fori_loop(0, INVERSE_ITERS, body, y)
+        x = _block_inverse(b, params, x)
     return x

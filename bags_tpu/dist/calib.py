@@ -48,12 +48,13 @@ from ..calib.vignetting import vignetting_mask
 from ..core.camera import CameraStatic
 from ..model.gaussians import Gaussians
 from ..raster import RenderConfig
-from ..utils.image import grid_sample
+from ..utils.image import WARP_BAND, banded_warp, grid_sample
 from .sharded import _halo_slab_loss, _make_device_render
 
 
 def _fisheye_warp_rows(lens, p_view, grid_hw, image, proj_scale,
-                       flow_hw, fish_hw, fh_pad: int, row0, n_rows: int):
+                       flow_hw, fish_hw, fh_pad: int, row0, n_rows: int,
+                       warp_ky: int = 0):
     """Rows [row0, row0+n_rows) of `apply_distortion(...)`'s fisheye output
     (not-apply2gt path, incl. the integer-grid center crop), computed from
     the full perspective `image` without materializing the full warp.
@@ -62,12 +63,46 @@ def _fisheye_warp_rows(lens, p_view, grid_hw, image, proj_scale,
     gathers use GLOBAL inside tests so out-of-frame taps contribute exact
     zeros. `fh_pad` bounds row0+n_rows (slab rows past the true fisheye
     height produce garbage the caller's loss masks). Returns
-    (warped_slab, mask_slab)."""
+    (warped_slab, mask_slab, warp_overflow).
+
+    warp_ky > 0 selects the gather-free banded warp (fast mode — see
+    `calib/distortion.py::apply_distortion_banded`): the row slab of the
+    flow feeds `utils/image.banded_warp` directly, and the crop is the
+    slice it is (banded_warp values are band-offset invariant, so this is
+    value-identical to slicing the single-chip banded warp)."""
     Hf, Wf = flow_hw
     fh, fw = fish_hw
     row0 = jnp.asarray(row0, jnp.int32)
     flow = dist_lib.compute_flow(lens, p_view, grid_hw, proj_scale,
                                  flow_hw, sensor_to_frustum=False)
+
+    if warp_ky:
+        if (fh, fw) == (Hf, Wf):
+            # pad overhang rows with an INVALID flow value: they produce
+            # exact-zero outputs instead of center-sample garbage, and do
+            # not distort the per-band window or overflow counter
+            flow_p = jnp.pad(flow, ((0, max(fh_pad - fh, 0)), (0, 0),
+                                    (0, 0)), constant_values=-10.0)
+            flow_slab = jax.lax.dynamic_slice(
+                flow_p, (row0, 0, 0), (n_rows, Wf, 2))
+            warped, over = banded_warp(
+                image, flow_slab, ky=warp_ky, band=WARP_BAND,
+                precision=jax.lax.Precision.DEFAULT)
+        else:
+            start_y = (Hf - fh) // 2
+            start_x = (Wf - fw) // 2
+            pad_bot = max(fh_pad + start_y - Hf, 0)
+            flow_p = jnp.pad(flow, ((0, pad_bot), (0, 0), (0, 0)),
+                             constant_values=-10.0)
+            flow_slab = jax.lax.dynamic_slice(
+                flow_p, (row0 + start_y, 0, 0), (n_rows, Wf, 2))
+            w_full, over = banded_warp(
+                image, flow_slab, ky=warp_ky, band=WARP_BAND,
+                precision=jax.lax.Precision.DEFAULT)
+            warped = w_full[:, :, start_x:start_x + fw]
+        mask = (~((warped[0] == 0.0) & (warped[1] == 0.0)))[None].astype(
+            warped.dtype)
+        return warped, mask, over
 
     if (fh, fw) == (Hf, Wf):
         # no crop stage: output rows ARE flow rows (pad for slab overhang)
@@ -117,29 +152,41 @@ def _fisheye_warp_rows(lens, p_view, grid_hw, image, proj_scale,
 
     mask = (~((warped[0] == 0.0) & (warped[1] == 0.0)))[None].astype(
         warped.dtype)
-    return warped, mask
+    return warped, mask, jnp.asarray(0, jnp.int32)
 
 
 def _gt_warp_rows(lens, p_view, grid_hw, fish_gt, proj_scale, flow_hw,
-                  h_pad: int, row0, n_rows: int):
+                  h_pad: int, row0, n_rows: int, warp_ky: int = 0):
     """Rows [row0, row0+n_rows) of the APPLY2GT warp
     (`apply_distortion(..., apply2gt=True)`: fisheye GT -> perspective
     frame, no crop stage): compute the full flow field (control grid +
     bilinear upsample, replicated small compute), slice the local row band,
     and bilinearly sample the replicated fisheye GT. Float-exact vs the
     single-chip chain (same compute_flow + grid_sample arithmetic,
-    row-sliced). Returns (gt_warped_slab, mask_slab) with the reference's
+    row-sliced); warp_ky > 0 selects the banded warp (fast mode). Returns
+    (gt_warped_slab, mask_slab, warp_overflow) with the reference's
     near-zero validity test (util_distortion.py:303-306)."""
     Hf, Wf = flow_hw
     row0 = jnp.asarray(row0, jnp.int32)
     flow = dist_lib.compute_flow(lens, p_view, grid_hw, proj_scale,
                                  flow_hw, sensor_to_frustum=True)
-    flow_p = jnp.pad(flow, ((0, max(h_pad - Hf, 0)), (0, 0), (0, 0)))
-    flow_slab = jax.lax.dynamic_slice(flow_p, (row0, 0, 0), (n_rows, Wf, 2))
-    warped = grid_sample(fish_gt, flow_slab, align_corners=True)
+    if warp_ky:
+        flow_p = jnp.pad(flow, ((0, max(h_pad - Hf, 0)), (0, 0), (0, 0)),
+                         constant_values=-10.0)
+        flow_slab = jax.lax.dynamic_slice(flow_p, (row0, 0, 0),
+                                          (n_rows, Wf, 2))
+        warped, over = banded_warp(
+            fish_gt, flow_slab, ky=warp_ky, band=WARP_BAND,
+            precision=jax.lax.Precision.DEFAULT)
+    else:
+        flow_p = jnp.pad(flow, ((0, max(h_pad - Hf, 0)), (0, 0), (0, 0)))
+        flow_slab = jax.lax.dynamic_slice(flow_p, (row0, 0, 0),
+                                          (n_rows, Wf, 2))
+        warped = grid_sample(fish_gt, flow_slab, align_corners=True)
+        over = jnp.asarray(0, jnp.int32)
     mask = (~((warped[0] < 1e-5) & (warped[1] < 1e-5)))[None].astype(
         warped.dtype)
-    return warped, mask
+    return warped, mask, over
 
 
 def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
@@ -158,6 +205,10 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
     d = mesh.devices.size
     static: CameraStatic = setup.render_static
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree)
+    # fast precision + measured window -> banded warp, matching the
+    # single-chip step's selection (train/calibrated.py)
+    warp_ky = setup.warp_ky if (getattr(setup, "warp_ky", 0)
+                                and rcfg.precision == "fast") else 0
     lam = cfg.opt.lambda_dssim
     use_mask = not cfg.calib.no_distortion_mask
     opt_shift = cfg.calib.opt_shift
@@ -192,9 +243,10 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
             img_full = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
             img_full = img_full[:, :true_render_h, :]
             row0 = dev * nr
-            warped, mask = _fisheye_warp_rows(
+            warped, mask, wover = _fisheye_warp_rows(
                 lens, p_view, setup.grid_hw, img_full, proj_scale,
-                setup.flow_hw, setup.fish_hw, fh_pad, row0, nr)
+                setup.flow_hw, setup.fish_hw, fh_pad, row0, nr,
+                warp_ky=warp_ky)
             if use_vignetting:
                 # computed at the TRUE fisheye size (the radial center must
                 # match the single-chip mask), padded for slab slicing
@@ -211,9 +263,10 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
             # loss compares LOCAL render rows vs local warped-GT rows — no
             # image-sized collective at all.
             row0 = dev * nr_render
-            gt_warped, mask = _gt_warp_rows(
+            gt_warped, mask, wover = _gt_warp_rows(
                 lens, p_view, setup.grid_hw, fish_in, proj_scale,
-                setup.flow_hw, h_pad_render, row0, nr_render)
+                setup.flow_hw, h_pad_render, row0, nr_render,
+                warp_ky=warp_ky)
             image = slab
             if use_vignetting:
                 vmask = vignetting_mask(vig, static.height, static.width)
@@ -229,7 +282,8 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
                                    true_render_h, lam)
 
         aux = dict(radii=full.radius,
-                   n_dropped=jax.lax.psum(bins.n_dropped, axis))
+                   n_dropped=jax.lax.psum(bins.n_dropped, axis),
+                   warp_overflow=jax.lax.psum(wover, axis))
         return loss, aux
 
     in_specs = (
@@ -243,7 +297,7 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
         P() if apply2gt else P(None, axis, None),
         P(), P(),                                              # p_view, bg
     )
-    out_specs = (P(), dict(radii=P(), n_dropped=P()))
+    out_specs = (P(), dict(radii=P(), n_dropped=P(), warp_overflow=P()))
     fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
 
@@ -310,7 +364,7 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
             state, base=new_base, lens=new_lens, lens_opt=lens_opt,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
             shift_opt=shift_opt)
-        return new_state, (loss, aux["n_dropped"])
+        return new_state, (loss, aux["n_dropped"], aux["warp_overflow"])
 
     return step
 

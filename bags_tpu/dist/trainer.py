@@ -261,6 +261,15 @@ class ShardedCalibTrainer(ShardedTrainer):
             subs = build_sub_cameras(self.state.base.cams)
             self.sub_q = _jnp.stack([s.q_init for s in subs[:4]], axis=1)
             self.sub_t = _jnp.stack([s.t_init for s in subs[:4]], axis=1)
+
+        if self.mode == "fisheye" and calib.banded_warp \
+                and self.rcfg.precision == "fast":
+            from ..train.calibrated import WARP_BAND, measure_warp_ky
+            ky = measure_warp_ky(self.state.lens, self.p_view, self.setup,
+                                 calib.apply2gt)
+            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+            print(f"banded lens warp (sharded): ky={ky} "
+                  f"(band={WARP_BAND})", flush=True)
         self._shard_state()
 
     # -- sharding ----------------------------------------------------------
@@ -339,12 +348,30 @@ class ShardedCalibTrainer(ShardedTrainer):
             gt_img = self.fish_images(idx) if callable(self.fish_images) \
                 else self.fish_images[idx]
             gt_img = self._pad_fish_gt(gt_img)
-            self.state, (loss, n_drop) = self._calib_step_fn(it)(
+            self.state, (loss, n_drop, wover) = self._calib_step_fn(it)(
                 self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
+            b = self.state.base
+            return StepMetrics(loss=loss, l1=loss,
+                               n_alive=jnp.sum(b.alive),
+                               n_dropped=n_drop, warp_overflow=wover)
         b = self.state.base
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(b.alive),
                            n_dropped=n_drop)
+
+    def _grow_warp_ky(self, overflow: int) -> None:
+        """Banded-warp window ladder (see CalibTrainer._grow_warp_ky)."""
+        import dataclasses
+
+        from ..train.calibrated import measure_warp_ky
+
+        old = self.setup.warp_ky
+        ky = max(measure_warp_ky(self.state.lens, self.p_view, self.setup,
+                                 self.cfg.calib.apply2gt), old + 32)
+        self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        self._steps = {}
+        print(f"[warp-ky] {overflow} window overflows: growing "
+              f"warp_ky {old} -> {ky} (re-tracing)", flush=True)
 
     def _base_transform(self, fn) -> None:
         import dataclasses

@@ -61,6 +61,10 @@ class FisheyeSetup:
     flow_hw: Tuple[int, int]          # flow upsample target (H, W)
     fovx: float                       # extended FoVs (init for learnables)
     fovy: float
+    # banded-warp source-row window (0 = use the gather warp). Measured
+    # from the initialized lens field by measure_warp_ky; fast-precision
+    # train steps use the matmul warp when > 0.
+    warp_ky: int = 0
 
 
 def make_fisheye_setup(focal_x: float, focal_y: float,
@@ -90,6 +94,32 @@ def make_fisheye_setup(focal_x: float, focal_y: float,
         render_static=CameraStatic(width=rw, height=rh),
         fish_hw=(fh, fw), grid_hw=grid_hw, flow_hw=flow_hw,
         fovx=float(fovx), fovy=float(fovy))
+
+
+from ..utils.image import WARP_BAND  # banded-warp output-row band
+
+
+def snap_warp_ky(ky: int) -> int:
+    """Round a measured window up a warp-ky ladder step: 1.5x headroom for
+    lens-field drift during training, snapped to a multiple of 32."""
+    return int(-(-int(ky * 1.5) // 32) * 32)
+
+
+def measure_warp_ky(lens, p_view: jnp.ndarray, setup: FisheyeSetup,
+                    apply2gt: bool) -> int:
+    """Required banded-warp window for the CURRENT lens field (run once
+    after lens initialization; the warp-ky ladder handles later drift).
+    The warped image is the extended-FoV render for apply2render and the
+    fisheye GT for apply2gt."""
+    from ..utils.image import required_ky
+
+    proj_scale = jnp.stack([1.0 / jnp.tan(jnp.asarray(setup.fovx) * 0.5),
+                            1.0 / jnp.tan(jnp.asarray(setup.fovy) * 0.5)])
+    flow = dist_lib.compute_flow(lens, p_view, setup.grid_hw, proj_scale,
+                                 setup.flow_hw, sensor_to_frustum=apply2gt)
+    h_img = setup.fish_hw[0] if apply2gt else setup.render_static.height
+    return snap_warp_ky(required_ky(np.asarray(flow), h_img,
+                                    band=WARP_BAND))
 
 
 def fisheye_control_points(setup: FisheyeSetup, focal_x: float,
@@ -187,6 +217,9 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
     # fisheye render at train.py:250 and render_cubemap at train.py:235).
     hybrid = cfg.calib.hybrid
     K = cfg.opt.batch_cams
+    # fast precision + measured window -> the gather-free banded warp;
+    # exact mode keeps the f32 gather warp (reference-parity numerics)
+    banded = setup.warp_ky > 0 and rcfg.precision == "fast"
 
     @jax.jit
     def step(state: CalibState, fish_gt: jnp.ndarray, p_view: jnp.ndarray,
@@ -212,9 +245,16 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             proj_scale = jnp.stack([1.0 / jnp.tan(cam.fovx * 0.5),
                                     1.0 / jnp.tan(cam.fovy * 0.5)])
             if not apply2gt:
-                warped, mask, _ = dist_lib.apply_distortion(
-                    lens, p_view, setup.grid_hw, out.render, proj_scale,
-                    setup.flow_hw, final_hw=setup.fish_hw, apply2gt=False)
+                if banded:
+                    warped, mask, _, wover = dist_lib.apply_distortion_banded(
+                        lens, p_view, setup.grid_hw, out.render, proj_scale,
+                        setup.flow_hw, setup.warp_ky, final_hw=setup.fish_hw,
+                        apply2gt=False, band=WARP_BAND)
+                else:
+                    warped, mask, _ = dist_lib.apply_distortion(
+                        lens, p_view, setup.grid_hw, out.render, proj_scale,
+                        setup.flow_hw, final_hw=setup.fish_hw, apply2gt=False)
+                    wover = jnp.asarray(0, jnp.int32)
                 gt_img = gt_one
                 if use_vignetting:
                     mask = mask * vignetting_mask(vig, *setup.fish_hw)[None]
@@ -223,9 +263,16 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 loss = photometric_loss(warped, gt_img, lam)
                 image = warped
             else:
-                gt_warped, mask, _ = dist_lib.apply_distortion(
-                    lens, p_view, setup.grid_hw, gt_one, proj_scale,
-                    setup.flow_hw, apply2gt=True)
+                if banded:
+                    gt_warped, mask, _, wover = dist_lib.apply_distortion_banded(
+                        lens, p_view, setup.grid_hw, gt_one, proj_scale,
+                        setup.flow_hw, setup.warp_ky, apply2gt=True,
+                        band=WARP_BAND)
+                else:
+                    gt_warped, mask, _ = dist_lib.apply_distortion(
+                        lens, p_view, setup.grid_hw, gt_one, proj_scale,
+                        setup.flow_hw, apply2gt=True)
+                    wover = jnp.asarray(0, jnp.int32)
                 image = out.render
                 if use_vignetting:
                     mask = mask * vignetting_mask(
@@ -233,7 +280,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                 if use_mask:
                     image = image * mask
                 loss = photometric_loss(image, gt_warped, lam)
-            return loss, (out, image)
+            return loss, (out, image, wover)
 
         if K > 1:
             # K fisheye views per step (--batch_cams composed with
@@ -244,18 +291,20 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             def loss_fn(g, cams_k, align, probes, absps, lens, vig, shift,
                         spec):
                 total = 0.0
+                wover = jnp.asarray(0, jnp.int32)
                 outs, imgs = [], []
                 for k in range(K):
                     cam_k = jax.tree_util.tree_map(lambda x: x[k], cams_k)
-                    l_k, (out_k, img_k) = one_view(
+                    l_k, (out_k, img_k, wo_k) = one_view(
                         g, cam_k, align, probes[k], absps[k], lens, vig,
                         shift, spec, fish_gt[k])
                     total = total + l_k
+                    wover = wover + wo_k
                     outs.append(out_k)
                     imgs.append(img_k)
                 out = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *outs)
-                return total / K, (out, jnp.stack(imgs))
+                return total / K, (out, jnp.stack(imgs), wover)
         else:
             def loss_fn(g, cam, align, probe2d, abs_probe, lens, vig,
                         shift, spec):
@@ -263,7 +312,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
                                 vig, shift, spec, fish_gt)
 
         argnums = (0, 1, 2, 3, 4, 5, 6, 7) + ((8,) if hybrid else ())
-        (loss, (out, image)), grads = jax.value_and_grad(
+        (loss, (out, image, wover)), grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True)(
                 b.g, cam_i, b.align, probe, absp, state.lens, state.vig,
                 state.shift, b.spec)
@@ -329,7 +378,7 @@ def make_fisheye_train_step(setup: FisheyeSetup, rcfg: RenderConfig,
             state, base=new_base, lens=new_lens, lens_opt=lens_opt,
             vig=new_vig, vig_opt=vig_opt, shift=new_shift,
             shift_opt=shift_opt)
-        return new_state, (loss, image, n_drop)
+        return new_state, (loss, image, n_drop, wover)
 
     return step
 
@@ -544,6 +593,16 @@ class CalibTrainer(Trainer):
             self.sub_q = jnp.stack([s.q_init for s in subs[:4]], axis=1)
             self.sub_t = jnp.stack([s.t_init for s in subs[:4]], axis=1)
 
+        if self.mode == "fisheye" and calib.banded_warp \
+                and self.rcfg.precision == "fast":
+            # size the banded-warp window from the (initialized) lens
+            # field; the warp-ky ladder re-traces if training drifts past it
+            ky = measure_warp_ky(self.state.lens, self.p_view, self.setup,
+                                 calib.apply2gt)
+            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+            print(f"banded lens warp: ky={ky} (band={WARP_BAND})",
+                  flush=True)
+
     def _train_step_fn(self):
         raise RuntimeError("CalibTrainer uses _calib_step_fn")
 
@@ -572,6 +631,7 @@ class CalibTrainer(Trainer):
         from .loop import StepMetrics
 
         step = self._calib_step_fn(it)
+        wover = 0
         if self.mode == "fisheye":
             load = (self.fish_images if callable(self.fish_images)
                     else self.fish_images.__getitem__)
@@ -579,7 +639,7 @@ class CalibTrainer(Trainer):
                 gt_img = jnp.stack([load(int(i)) for i in np.asarray(idx)])
             else:
                 gt_img = load(idx)
-            self.state, (loss, _, n_drop) = step(
+            self.state, (loss, _, n_drop, wover) = step(
                 self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         else:
             self.state, (loss, _, n_drop) = step(
@@ -588,7 +648,20 @@ class CalibTrainer(Trainer):
         b = self.state.base
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(b.alive),
-                           n_dropped=n_drop)
+                           n_dropped=n_drop, warp_overflow=wover)
+
+    def _grow_warp_ky(self, overflow: int) -> None:
+        """Banded-warp window overflow: the lens field drifted past the
+        window measured at init. Re-measure from the CURRENT lens, take a
+        ladder step up, and re-trace the steps (compile-cache amortized,
+        like the instance-capacity ladder)."""
+        old = self.setup.warp_ky
+        ky = max(measure_warp_ky(self.state.lens, self.p_view, self.setup,
+                                 self.cfg.calib.apply2gt), old + 32)
+        self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        self._steps = {}
+        print(f"[warp-ky] {overflow} window overflows: growing "
+              f"warp_ky {old} -> {ky} (re-tracing)", flush=True)
 
     def _base_transform(self, fn):
         self.state = dataclasses.replace(self.state, base=fn(self.state.base))

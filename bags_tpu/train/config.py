@@ -109,6 +109,9 @@ class CalibConfig:
     mask_radius: int = 512
     no_init_iresnet: bool = False
     hybrid: bool = False                        # specular ASG color
+    # gather-free banded lens warp under --precision fast (utils/image.
+    # banded_warp); False forces the f32 gather warp in all modes
+    banded_warp: bool = True
 
 
 @dataclasses.dataclass

@@ -139,6 +139,10 @@ class StepMetrics(NamedTuple):
     l1: jnp.ndarray
     n_alive: jnp.ndarray
     n_dropped: jnp.ndarray
+    # banded lens-warp window overflow (calibrated fast mode only): > 0
+    # means warp_ky was too small for the current lens field; the trainer
+    # re-traces with a larger window (warp-ky ladder)
+    warp_overflow: int = 0
 
 
 def make_train_step(static: CameraStatic, rcfg: RenderConfig,
@@ -525,6 +529,11 @@ class Trainer:
         self._prefetched = (nidx, self._io.submit(self.gt_images, nidx))
         return gt
 
+    def _grow_warp_ky(self, overflow: int) -> None:
+        # only calibrated steps report warp overflow (CalibTrainer overrides)
+        raise RuntimeError(
+            f"warp overflow {overflow} from a non-calibrated train step")
+
     def _grow_capacity(self, n_dropped: int) -> None:
         """Instance-budget overflow: grow `max_instances` one ladder step and
         re-jit. The CUDA reference resizes its instance buffers dynamically
@@ -593,6 +602,9 @@ class Trainer:
                 nd = int(metrics.n_dropped)
                 if nd > 0:
                     self._grow_capacity(nd)
+                wo = int(metrics.warp_overflow)
+                if wo > 0:
+                    self._grow_warp_ky(wo)
 
             if log_every and it % log_every == 0:
                 history.append((it, float(metrics.loss),

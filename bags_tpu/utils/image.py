@@ -50,6 +50,11 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
             + v10 * (1 - tx) * ty + v11 * tx * ty)
 
 
+# banded-warp output-row band used by the calibrated train paths
+# (b=32 measured fastest on-chip, tools/warpbench.py)
+WARP_BAND = 32
+
+
 def required_ky(grid: jnp.ndarray, image_h: int, band: int = 8,
                 align_corners: bool = True) -> int:
     """Source-row window height `banded_warp` needs for this grid: the max
@@ -122,8 +127,12 @@ def banded_warp(image: jnp.ndarray, grid: jnp.ndarray, ky: int,
     xs_iota = jnp.arange(w, dtype=jnp.float32)
     ks_iota = jnp.arange(kyc, dtype=jnp.float32)
 
-    def body(_, xs):
-        fx_p, fy_p = xs                     # (band*wo,)
+    # remat: the tent-weight matrices (wx is (band*wo, W) per band) are
+    # cheap iota math — recompute them in the backward instead of letting
+    # the scan stack them across bands (nb x band*wo x W saved residuals
+    # OOM at garden scale).
+    @jax.checkpoint
+    def band_fn(fx_p, fy_p):                # (band*wo,)
         valid = (fy_p > -1.0) & (fy_p < h)
         y_min = jnp.floor(jnp.min(jnp.where(valid, fy_p, float(h))))
         y_max = jnp.floor(jnp.max(jnp.where(valid, fy_p, -1.0))) + 1.0
@@ -139,7 +148,10 @@ def banded_warp(image: jnp.ndarray, grid: jnp.ndarray, ky: int,
         over = jnp.maximum(
             jnp.minimum(y_max, float(h - 1))
             - (y0.astype(jnp.float32) + (kyc - 1)), 0.0)
-        return None, (out, over)
+        return out, over
+
+    def body(_, xs):
+        return None, band_fn(*xs)
 
     _, (outs, over) = jax.lax.scan(body, None, (fx_b, fy_b))
     warped = outs.reshape(nb, c, band, wo).transpose(1, 0, 2, 3)

@@ -64,7 +64,7 @@ def _state(cfg, sc, cap):
     return state, g_tx
 
 
-def bench_fisheye(n, wh, iters, precision="fast"):
+def bench_fisheye(n, wh, iters, precision="fast", warp_ky=384):
     import jax
     import jax.numpy as jnp
 
@@ -88,9 +88,16 @@ def bench_fisheye(n, wh, iters, precision="fast"):
         calib_state,
         lens=jax.tree_util.tree_map(lambda x: x * 1e-4, calib_state.lens))
 
+    # warp_ky: the bench lens is near-identity (scaled 1e-4), so a measured
+    # window would be unrealistically small; 384 is the measured
+    # requirement for a flow_scale-2 OPENCV_FISHEYE lens at 800x800
+    # (tools/warpbench.py), i.e. the real cube-scene workload. 0 = gather.
     setup = calibrated.make_fisheye_setup(
         focal_x=wh / 2.0, focal_y=wh / 2.0, persp_wh=(wh, wh),
         fish_wh=(wh, wh))
+    if warp_ky:
+        setup = dataclasses.replace(
+            setup, warp_ky=min(warp_ky, setup.render_static.height))
     p_view = calibrated.fisheye_control_points(setup, wh / 2.0, wh / 2.0)
     b = calib_state.base
     cams = dataclasses.replace(
@@ -189,6 +196,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--precision", choices=["fast", "exact"], default="fast",
                    help="compositing precision mode (see RenderConfig)")
+    p.add_argument("--warp_ky", type=int, default=384,
+                   help="banded-warp window for the fisheye step "
+                        "(realistic lens default; 0 = gather warp)")
     args = p.parse_args(argv)
 
     from bags_tpu.utils.cache import enable_persistent_cache, warm_ssim_grad
@@ -198,11 +208,12 @@ def main(argv=None):
         warm_ssim_grad()
 
     if args.mode in ("fisheye", "both"):
-        pps = bench_fisheye(args.n, args.wh, args.iters, args.precision)
+        pps = bench_fisheye(args.n, args.wh, args.iters, args.precision,
+                            args.warp_ky)
         print(json.dumps({
             "metric": "fisheye_pixels_per_s_fwd_bwd",
             "value": round(pps, 1), "unit": "pixels/s/chip",
-            "precision": args.precision,
+            "precision": args.precision, "warp_ky": args.warp_ky,
             "vs_baseline": round(pps / BASELINE_PIXELS_PER_S, 4)}))
     if args.mode in ("cubemap", "both"):
         pps = bench_cubemap(args.n, args.wh, args.iters, args.precision)

@@ -80,7 +80,7 @@ def test_fisheye_train_step_runs_and_descends():
     st = calib_state
     bg = jnp.zeros(3)
     for i in range(6):
-        st, (loss, img, _) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
+        st, (loss, img, *_) = step(st, fish_gt, p_view, jnp.asarray(i % 2), bg)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -158,7 +158,7 @@ def test_fisheye_batch_cams_runs_and_accumulates_stats():
         setup, RenderConfig(sh_degree=0, backend="jnp",
                             max_instances=2 ** 13),
         cfg, g_tx, txs, sh_degree=0, opt_lens=False, use_vignetting=False)
-    st, (loss, img, _) = step(calib_state, fish_gt, p_view,
+    st, (loss, img, *_) = step(calib_state, fish_gt, p_view,
                               jnp.asarray([0, 1]), jnp.zeros(3))
     assert np.isfinite(float(loss))
     assert img.shape[0] == 2
@@ -198,7 +198,7 @@ def test_fisheye_hybrid_optimizes_specular():
                             max_instances=2 ** 13),
         cfg, g_tx, txs, sh_degree=0, opt_lens=False, use_vignetting=False,
         spec_tx=spec_tx)
-    st, (loss, _, _) = step(calib_state, fish_gt, p_view, jnp.asarray(0),
+    st, (loss, _, *_) = step(calib_state, fish_gt, p_view, jnp.asarray(0),
                             jnp.zeros(3))
     assert np.isfinite(float(loss))
     assert _spec_delta(st.base.spec, calib_state.base.spec) > 0, \

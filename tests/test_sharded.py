@@ -320,8 +320,8 @@ def test_sharded_fisheye_step_matches_single_device(flow_scale):
     step_1 = calibrated.make_fisheye_train_step(
         setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
         use_vignetting=False)
-    st1, (loss1, _, _) = step_1(calib_state, fish_gt, p_view,
-                                jnp.asarray(0), bg)
+    st1, (loss1, _, *_) = step_1(calib_state, fish_gt, p_view,
+                                 jnp.asarray(0), bg)
 
     step_n = make_sharded_fisheye_step(
         mesh, setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
@@ -329,8 +329,8 @@ def test_sharded_fisheye_step_matches_single_device(flow_scale):
     d = n_devices
     fh_pad = -(-fh // d) * d
     fish_pad = jnp.pad(fish_gt, ((0, 0), (0, fh_pad - fh), (0, 0)))
-    stn, (lossn, _) = step_n(calib_state, fish_pad, p_view,
-                             jnp.asarray(0), bg)
+    stn, (lossn, *_) = step_n(calib_state, fish_pad, p_view,
+                              jnp.asarray(0), bg)
 
     np.testing.assert_allclose(float(lossn), float(loss1),
                                rtol=1e-4, atol=1e-6)
@@ -525,15 +525,15 @@ def test_sharded_apply2gt_step_matches_single_device():
     step_1 = calibrated.make_fisheye_train_step(
         setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
         use_vignetting=False)
-    st1, (loss1, _, _) = step_1(calib_state, fish_gt, p_view,
-                                jnp.asarray(0), bg)
+    st1, (loss1, _, *_) = step_1(calib_state, fish_gt, p_view,
+                                 jnp.asarray(0), bg)
 
     step_n = make_sharded_fisheye_step(
         mesh, setup, rcfg, cfg, g_tx, txs, sh_degree=0, opt_lens=True,
         use_vignetting=False)
     # apply2gt: the fisheye GT enters REPLICATED and unpadded
-    stn, (lossn, _) = step_n(calib_state, fish_gt, p_view,
-                             jnp.asarray(0), bg)
+    stn, (lossn, *_) = step_n(calib_state, fish_gt, p_view,
+                              jnp.asarray(0), bg)
 
     np.testing.assert_allclose(float(lossn), float(loss1),
                                rtol=1e-4, atol=1e-6)

@@ -39,14 +39,28 @@ def timed(fn, *args, reps=10):
     return sorted(times)[len(times) // 2] - _FLOOR[0]
 
 
-def make_flow(h, w, ho, wo, strength=0.25):
-    """Radial fisheye-ish flow with moderate edge stretch."""
-    gy, gx = np.meshgrid(np.linspace(-1.15, 1.15, ho),
-                         np.linspace(-1.15, 1.15, wo), indexing="ij")
-    r = np.sqrt(gx ** 2 + gy ** 2) + 1e-9
-    scale = np.tan(np.clip(r * 1.2, 1e-6, 1.45)) / (r * 1.2)
-    return jnp.asarray(np.stack([gx * scale * (1 - strength),
-                                 gy * scale * (1 - strength)],
+def make_flow(h, w, ho, wo, coeff=(-0.04, 0.01, -0.006, 0.001)):
+    """The REAL fisheye apply2render flow geometry: fisheye sensor pixels
+    back-projected through K (focal=w/2), the OPENCV_FISHEYE theta-poly
+    inverted numerically (r_d = poly(theta), r_n = tan(theta)), scaled by
+    the extended-FoV projection diag — exactly what compute_flow produces
+    from a converged lens net (calib/distortion.py)."""
+    fx = w / 2.0
+    xs = (np.arange(wo) + 0.5 - wo / 2) / fx
+    ys = (np.arange(ho) + 0.5 - ho / 2) / fx
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    r_d = np.sqrt(gx ** 2 + gy ** 2) + 1e-9
+    # invert the theta polynomial on a dense table
+    th = np.linspace(1e-6, 1.5, 4096)
+    poly = th + coeff[0] * th**3 + coeff[1] * th**5 \
+        + coeff[2] * th**7 + coeff[3] * th**9
+    theta = np.interp(r_d, poly, th, right=1.5)
+    r_n = np.tan(theta)
+    # extended-FoV render: flow_scale 2 like cameras.py:154-161
+    fov_ext = 2 * np.arctan(2.0 * w / (2 * fx))
+    proj = 1.0 / np.tan(fov_ext / 2)
+    return jnp.asarray(np.stack([gx / r_d * r_n * proj,
+                                 gy / r_d * r_n * proj],
                                 axis=-1).astype(np.float32))
 
 
@@ -74,6 +88,7 @@ def main():
             ky = required_ky(grid, h, band=band)
             ky_pad = int(np.ceil(ky * 1.5 / 8) * 8)
             for prec, pname in [(jax.lax.Precision.HIGHEST, "hi"),
+                                (jax.lax.Precision.HIGH, "md"),
                                 (jax.lax.Precision.DEFAULT, "lo")]:
                 t = timed(lambda i, g, b=band, k=ky_pad, p=prec:
                           banded_warp(i, g, ky=k, band=b, precision=p),
