@@ -18,7 +18,10 @@ from typing import Callable, List
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.image import grid_sample, resize_bilinear
+import jax
+
+from ..utils.image import (WARP_BAND, banded_warp, grid_sample,
+                           resize_bilinear)
 from .iresnet import IResNetParams, iresnet_forward
 
 
@@ -72,11 +75,17 @@ def face_grid(K: jnp.ndarray, rays_hom: jnp.ndarray, face: str, height: int,
 
 
 def warp_to_face(K: jnp.ndarray, rays_hom: jnp.ndarray, img: jnp.ndarray,
-                 face: str, height: int, width: int) -> jnp.ndarray:
+                 face: str, height: int, width: int, warp_ky: int = 0):
     """Project the (re-projected) distorted rays through K and grid-sample
-    the face render (:169-189)."""
+    the face render (:169-189). warp_ky > 0 selects the gather-free banded
+    warp (fast mode); returns (warped, overflow) — overflow is always 0 on
+    the gather path."""
     grid = face_grid(K, rays_hom, face, height, width, img.shape[-2:])
-    return grid_sample(img, grid, align_corners=True)
+    if warp_ky:
+        return banded_warp(img, grid, ky=warp_ky, band=WARP_BAND,
+                           precision=jax.lax.Precision.DEFAULT)
+    return grid_sample(img, grid, align_corners=True), jnp.asarray(
+        0, jnp.int32)
 
 
 def mask_half(image: jnp.ndarray, direction: str) -> jnp.ndarray:
@@ -150,27 +159,30 @@ FACES = ("forward", "up", "down", "left", "right")
 def render_cubemap_faces(render_face: Callable[[int], jnp.ndarray],
                          cubemap_net: IResNetParams, K, width: int,
                          height: int, control_point_sample_scale: int,
-                         mask_fov90: jnp.ndarray
-                         ) -> List[jnp.ndarray]:
+                         mask_fov90: jnp.ndarray, warp_ky: int = 0):
     """Render + warp the five faces (`render_cubemap` :219-288).
 
     render_face(i) must return the (3, H, W) render for face i in FACES
     order (0 = the main camera, 1..4 = the ±90° sub-cameras from
-    `core.camera.rotate_camera_pose`). Returns the list of distorted
-    (half-masked for side faces) images to composite/loss against the
-    circular-masked fisheye GT.
+    `core.camera.rotate_camera_pose`). Returns (faces, warp_overflow):
+    the list of distorted (half-masked for side faces) images to
+    composite/loss against the circular-masked fisheye GT, plus the summed
+    banded-warp overflow (0 on the gather path, warp_ky=0).
     """
     K = np.asarray(K, np.float32)  # host-side constant (inv/grid generation)
     rays_hom = distorted_rays(cubemap_net, K, width, height,
                               control_point_sample_scale)
     out = []
+    wover = jnp.asarray(0, jnp.int32)
     for i, face in enumerate(FACES):
         img = render_face(i) * mask_fov90
-        warped = warp_to_face(K, rays_hom, img, face, height, width)
+        warped, over = warp_to_face(K, rays_hom, img, face, height, width,
+                                    warp_ky=warp_ky)
+        wover = wover + over
         if face != "forward":
             warped = mask_half(warped, face)
         out.append(warped)
-    return out
+    return out, wover
 
 
 SUB_CAMERA_ROTATIONS = (

@@ -76,6 +76,60 @@ def distort_by_coeff(points: jnp.ndarray, coeff) -> jnp.ndarray:
     return points
 
 
+def invert_theta_poly(r_d: np.ndarray, coeff, theta_max: float = 1.5
+                      ) -> np.ndarray:
+    """Invert the OPENCV_FISHEYE theta polynomial r_d = poly(theta)
+    numerically (dense monotone table + interp). Host-side (synthesis and
+    validation tooling, not a train-path op)."""
+    th = np.linspace(1e-7, theta_max, 8192)
+    poly = th + coeff[0] * th ** 3 + coeff[1] * th ** 5 \
+        + coeff[2] * th ** 7 + coeff[3] * th ** 9
+    return np.interp(np.asarray(r_d), poly, th, right=theta_max)
+
+
+def analytic_inverse_flow(coeff, p_view: jnp.ndarray,
+                          grid_hw: Tuple[int, int], proj_scale,
+                          out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """The NDC flow field a PERFECTLY-converged lens net would produce for
+    the analytic OPENCV_FISHEYE model: the exact analogue of
+    `compute_flow(..., sensor_to_frustum=False)` with the iResNet inverse
+    replaced by the closed-form theta-poly inversion (distorted sensor
+    coords -> undistorted frustum coords r_n = tan(theta)). Used to
+    synthesize known-lens fisheye datasets and to measure recovered-flow
+    error (the reference's self-calibration claim, train.py:255-325)."""
+    p = np.asarray(p_view, np.float64)
+    r_d = np.sqrt((p ** 2).sum(-1))
+    theta = invert_theta_poly(r_d, coeff)
+    p_n = p * (np.tan(theta) / np.maximum(r_d, 1e-9))[:, None]
+    ctrl = jnp.asarray(p_n.astype(np.float32)).reshape(
+        grid_hw[0], grid_hw[1], 2)
+    flow = ctrl * jnp.asarray(proj_scale, jnp.float32).reshape(1, 1, 2)
+    flow = resize_bilinear(flow.transpose(2, 0, 1), out_hw).transpose(1, 2, 0)
+    return flow
+
+
+def flow_error_px(lens_params: IResNetParams, coeff, p_view: jnp.ndarray,
+                  proj_scale, render_w: int) -> float:
+    """Mean |learned - true| undistortion flow over the in-frame control
+    points, in RENDER PIXELS: the recovered-lens error metric. The learned
+    flow is the iResNet inverse on the control grid (exactly what the warp
+    consumes); truth is the closed-form theta-poly inverse."""
+    p = np.asarray(p_view, np.float64)
+    r_d = np.sqrt((p ** 2).sum(-1))
+    theta = invert_theta_poly(r_d, coeff)
+    p_n_true = p * (np.tan(theta) / np.maximum(r_d, 1e-9))[:, None]
+    p_n_hat = np.asarray(iresnet_forward(lens_params, p_view,
+                                         sensor_to_frustum=False))
+    proj = np.asarray(proj_scale, np.float64).reshape(1, 2)
+    ndc_true = p_n_true * proj
+    ndc_hat = p_n_hat * proj
+    valid = np.all(np.abs(ndc_true) <= 1.0, axis=-1)
+    if not valid.any():
+        return float("nan")
+    err_ndc = np.linalg.norm((ndc_hat - ndc_true)[valid], axis=-1)
+    return float(np.mean(err_ndc) * 0.5 * (render_w - 1))
+
+
 def read_colmap_coeff(source_path: str) -> list:
     """Fetch distortion coefficients from the paired fisheye COLMAP model or
     a VR-NeRF cameras.json (`read_colmap_coeff`, util_distortion.py:111-130)."""

@@ -376,7 +376,7 @@ def make_sharded_fisheye_step(mesh: Mesh, setup, rcfg: RenderConfig, cfg,
 def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
                               rcfg: RenderConfig, cfg, g_tx, txs,
                               sh_degree: int, focal_x: float, focal_y: float,
-                              spec_tx=None):
+                              spec_tx=None, warp_ky: int = 0):
     """Five-face cubemap training over the mesh (VERDICT r3 item 4; the
     reference step is `/root/reference/utils/cubemap_utils.py:219-288` +
     `train.py:287-323`).
@@ -404,6 +404,9 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
     d = mesh.devices.size
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
                                sort_by_distance=True)
+    # fast precision + measured window -> banded face warps (matching the
+    # single-chip make_cubemap_train_step selection)
+    warp_ky = warp_ky if rcfg.precision == "fast" else 0
     lam = cfg.opt.lambda_dssim
     H, W = static.height, static.width
     K_np = np.array([[focal_x, 0, W / 2], [0, focal_y, H / 2],
@@ -448,7 +451,11 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
         m_slabs = []
         for i, face in enumerate(cubemap_lib.FACES):
             grid = cubemap_lib.face_grid(K_np, rays_hom, face, H, W, (H, W))
-            grid_p = jnp.pad(grid, ((0, h_pad - H), (0, 0), (0, 0)))
+            # banded path: overhang rows get an INVALID flow (exact-zero
+            # output, no window distortion); gather path keeps zeros (the
+            # garbage rows are masked by m_slab either way)
+            grid_p = jnp.pad(grid, ((0, h_pad - H), (0, 0), (0, 0)),
+                             constant_values=-10.0 if warp_ky else 0.0)
             grid_slabs.append(jax.lax.dynamic_slice(grid_p, (row0, 0, 0),
                                                     (nr, W, 2)))
             m_slabs.append(jax.lax.dynamic_slice(face_masks[i], (0, row0, 0),
@@ -458,7 +465,7 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
         is_face0 = jnp.arange(len(cubemap_lib.FACES)) == 0
 
         def face_body(carry, xs):
-            total, radii, n_drop = carry
+            total, radii, n_drop, wover = carry
             q_i, t_i, grid_slab, m_slab, is0 = xs
             cam_f = dataclasses.replace(cam, q_init=q_i, t_init=t_i)
             sel = is0.astype(probe2d.dtype)
@@ -468,20 +475,30 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
                 bg)
             face_full = jax.lax.all_gather(slab, axis, axis=1, tiled=True)
             img = face_full[:, :H, :] * mask90
-            warped_slab = grid_sample(img, grid_slab, align_corners=True)
+            if warp_ky:
+                warped_slab, over = banded_warp(
+                    img, grid_slab, ky=warp_ky, band=WARP_BAND,
+                    precision=jax.lax.Precision.DEFAULT)
+            else:
+                warped_slab = grid_sample(img, grid_slab,
+                                          align_corners=True)
+                over = jnp.asarray(0, jnp.int32)
             total = total + _halo_slab_loss(
                 warped_slab * m_slab, gt_slab * m_slab, axis,
                 row0.astype(jnp.float32), H, lam)
             radii = jnp.where(is0, full.radius, radii)
-            return (total, radii, n_drop + bins.n_dropped), None
+            return (total, radii, n_drop + bins.n_dropped,
+                    wover + over), None
 
         radii0 = jnp.zeros((xyz.shape[0] * d,), jnp.int32)
-        (total, radii, n_drop), _ = jax.lax.scan(
-            face_body, (jnp.float32(0.0), radii0, jnp.int32(0)),
+        (total, radii, n_drop, wover), _ = jax.lax.scan(
+            face_body, (jnp.float32(0.0), radii0, jnp.int32(0),
+                        jnp.int32(0)),
             (cam_qs, cam_ts, jnp.stack(grid_slabs), jnp.stack(m_slabs),
              is_face0))
 
-        aux = dict(radii=radii, n_dropped=jax.lax.psum(n_drop, axis))
+        aux = dict(radii=radii, n_dropped=jax.lax.psum(n_drop, axis),
+                   warp_overflow=jax.lax.psum(wover, axis))
         return total, aux
 
     in_specs = (
@@ -494,7 +511,7 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
         P(None, axis, None),                                   # gt slab
         P(), P(), P(),                                         # sub_q/t, bg
     )
-    out_specs = (P(), dict(radii=P(), n_dropped=P()))
+    out_specs = (P(), dict(radii=P(), n_dropped=P(), warp_overflow=P()))
     fn = shard_map(device_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
 
@@ -551,6 +568,7 @@ def make_sharded_cubemap_step(mesh: Mesh, static: CameraStatic,
             stats=stats, step=b.step + 1, spec=new_spec, spec_opt=spec_opt)
         return dataclasses.replace(
             state, base=new_base, cubemap_net=new_cub,
-            cubemap_opt=cub_opt), (loss, aux["n_dropped"])
+            cubemap_opt=cub_opt), (loss, aux["n_dropped"],
+                                   aux["warp_overflow"])
 
     return step

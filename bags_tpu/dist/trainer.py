@@ -262,12 +262,20 @@ class ShardedCalibTrainer(ShardedTrainer):
             self.sub_q = _jnp.stack([s.q_init for s in subs[:4]], axis=1)
             self.sub_t = _jnp.stack([s.t_init for s in subs[:4]], axis=1)
 
-        if self.mode == "fisheye" and calib.banded_warp \
-                and self.rcfg.precision == "fast":
-            from ..train.calibrated import WARP_BAND, measure_warp_ky
-            ky = measure_warp_ky(self.state.lens, self.p_view, self.setup,
-                                 calib.apply2gt)
-            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        self.cubemap_warp_ky = 0
+        if calib.banded_warp and self.rcfg.precision == "fast":
+            from ..train.calibrated import (WARP_BAND,
+                                            measure_cubemap_warp_ky,
+                                            measure_warp_ky)
+            if self.mode == "fisheye":
+                ky = measure_warp_ky(self.state.lens, self.p_view,
+                                     self.setup, calib.apply2gt)
+                self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+            else:
+                ky = measure_cubemap_warp_ky(
+                    self.state.cubemap_net, *self.focal, self.static,
+                    int(calib.control_point_sample_scale))
+                self.cubemap_warp_ky = ky
             print(f"banded lens warp (sharded): ky={ky} "
                   f"(band={WARP_BAND})", flush=True)
         self._shard_state()
@@ -319,7 +327,7 @@ class ShardedCalibTrainer(ShardedTrainer):
                 self._steps[key] = make_sharded_cubemap_step(
                     self.mesh, self.static, self.rcfg, self.cfg, self.g_tx,
                     self.txs, self.active_sh_degree, *self.focal,
-                    spec_tx=self.spec_tx)
+                    spec_tx=self.spec_tx, warp_ky=self.cubemap_warp_ky)
             return self._steps[key]
         opt_lens = (calib.opt_distortion
                     and calib.iresnet_opt_duration[0] <= it
@@ -341,34 +349,42 @@ class ShardedCalibTrainer(ShardedTrainer):
 
         if self.mode == "cubemap":
             gt = self._pad_gt(gt)
-            self.state, (loss, n_drop) = self._calib_step_fn(it)(
+            self.state, (loss, n_drop, wover) = self._calib_step_fn(it)(
                 self.state, gt, jnp.asarray(idx), self.bg, self.sub_q[idx],
                 self.sub_t[idx])
-        else:
-            gt_img = self.fish_images(idx) if callable(self.fish_images) \
-                else self.fish_images[idx]
-            gt_img = self._pad_fish_gt(gt_img)
-            self.state, (loss, n_drop, wover) = self._calib_step_fn(it)(
-                self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
             b = self.state.base
             return StepMetrics(loss=loss, l1=loss,
                                n_alive=jnp.sum(b.alive),
                                n_dropped=n_drop, warp_overflow=wover)
+        gt_img = self.fish_images(idx) if callable(self.fish_images) \
+            else self.fish_images[idx]
+        gt_img = self._pad_fish_gt(gt_img)
+        self.state, (loss, n_drop, wover) = self._calib_step_fn(it)(
+            self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         b = self.state.base
         return StepMetrics(loss=loss, l1=loss,
                            n_alive=jnp.sum(b.alive),
-                           n_dropped=n_drop)
+                           n_dropped=n_drop, warp_overflow=wover)
 
     def _grow_warp_ky(self, overflow: int) -> None:
         """Banded-warp window ladder (see CalibTrainer._grow_warp_ky)."""
         import dataclasses
 
-        from ..train.calibrated import measure_warp_ky
+        from ..train.calibrated import (measure_cubemap_warp_ky,
+                                        measure_warp_ky)
 
-        old = self.setup.warp_ky
-        ky = max(measure_warp_ky(self.state.lens, self.p_view, self.setup,
-                                 self.cfg.calib.apply2gt), old + 32)
-        self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        if self.mode == "fisheye":
+            old = self.setup.warp_ky
+            ky = max(measure_warp_ky(self.state.lens, self.p_view,
+                                     self.setup, self.cfg.calib.apply2gt),
+                     old + 32)
+            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        else:
+            old = self.cubemap_warp_ky
+            ky = max(measure_cubemap_warp_ky(
+                self.state.cubemap_net, *self.focal, self.static,
+                int(self.cfg.calib.control_point_sample_scale)), old + 32)
+            self.cubemap_warp_ky = ky
         self._steps = {}
         print(f"[warp-ky] {overflow} window overflows: growing "
               f"warp_ky {old} -> {ky} (re-tracing)", flush=True)

@@ -406,12 +406,36 @@ def build_sub_cameras(cams: CameraParams) -> List[CameraParams]:
     return subs
 
 
+def measure_cubemap_warp_ky(cubemap_net, focal_x: float, focal_y: float,
+                            static: CameraStatic, scale: int) -> int:
+    """Required banded-warp window over the five cubemap face grids for
+    the CURRENT cubemap net (max over faces; singular/out-of-image grid
+    entries are excluded by required_ky's in-image mask)."""
+    from ..utils.image import required_ky
+
+    K = np.array([[focal_x, 0, static.width / 2],
+                  [0, focal_y, static.height / 2], [0, 0, 1.0]])
+    rays = cubemap_lib.distorted_rays(cubemap_net, K, static.width,
+                                      static.height, scale)
+    kys = []
+    for face in cubemap_lib.FACES:
+        grid = cubemap_lib.face_grid(jnp.asarray(K, jnp.float32), rays,
+                                     face, static.height, static.width,
+                                     (static.height, static.width))
+        kys.append(required_ky(np.asarray(grid), static.height,
+                               band=WARP_BAND))
+    return snap_warp_ky(max(kys))
+
+
 def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
-                            focal_x: float, focal_y: float, spec_tx=None):
+                            focal_x: float, focal_y: float, spec_tx=None,
+                            warp_ky: int = 0):
     """Five-face cubemap training (train.py:231-247, 287-323)."""
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
                                sort_by_distance=True)
+    # fast precision + measured window -> banded face warps
+    warp_ky = warp_ky if rcfg.precision == "fast" else 0
     lam = cfg.opt.lambda_dssim
     # --hybrid (reference render_cubemap takes mlp_color, train.py:235).
     # The five faces share one camera center (pure rotations about it), so
@@ -459,9 +483,9 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                 outs.append(o)
                 face_renders.append(o.render)
 
-            faces = cubemap_lib.render_cubemap_faces(
+            faces, wover = cubemap_lib.render_cubemap_faces(
                 lambda i: face_renders[i], cub_net, K, static.width,
-                static.height, scale, mask90)
+                static.height, scale, mask90, warp_ky=warp_ky)
             half_masks = [jnp.ones_like(circ)] + [
                 cubemap_lib.mask_half(jnp.ones_like(circ), f)
                 for f in ("up", "down", "left", "right")]
@@ -475,10 +499,10 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                 ssim_sum = ssim_sum + ssim_fn(a, bb)
             loss = (1 - lam) * l1_sum + lam * (5.0 - ssim_sum)
             n_drop = sum(o.n_dropped for o in outs)
-            return loss, (main, faces[0], n_drop)
+            return loss, (main, faces[0], n_drop, wover)
 
         argnums = (0, 1, 2, 3, 4, 5) + ((6,) if hybrid else ())
-        (loss, (main, face0, n_drop)), grads = jax.value_and_grad(
+        (loss, (main, face0, n_drop, wover)), grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True)(
                 b.g, cam_i, b.align, probe, absp, state.cubemap_net, b.spec)
         g_grads, cam_grads, _, signed_stat, abs_stat, cub_grads = grads[:6]
@@ -511,7 +535,8 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
             b, g=new_g, g_opt=g_opt, cams=new_cams, cam_opt=cam_opt,
             stats=stats, step=b.step + 1, spec=new_spec, spec_opt=spec_opt)
         return dataclasses.replace(state, base=new_base, cubemap_net=new_cub,
-                                   cubemap_opt=cub_opt), (loss, face0, n_drop)
+                                   cubemap_opt=cub_opt), (loss, face0,
+                                                          n_drop, wover)
 
     return step
 
@@ -593,13 +618,20 @@ class CalibTrainer(Trainer):
             self.sub_q = jnp.stack([s.q_init for s in subs[:4]], axis=1)
             self.sub_t = jnp.stack([s.t_init for s in subs[:4]], axis=1)
 
-        if self.mode == "fisheye" and calib.banded_warp \
-                and self.rcfg.precision == "fast":
-            # size the banded-warp window from the (initialized) lens
-            # field; the warp-ky ladder re-traces if training drifts past it
-            ky = measure_warp_ky(self.state.lens, self.p_view, self.setup,
-                                 calib.apply2gt)
-            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        self.cubemap_warp_ky = 0
+        if calib.banded_warp and self.rcfg.precision == "fast":
+            # size the banded-warp window from the (initialized) lens /
+            # cubemap field; the warp-ky ladder re-traces if training
+            # drifts past it
+            if self.mode == "fisheye":
+                ky = measure_warp_ky(self.state.lens, self.p_view,
+                                     self.setup, calib.apply2gt)
+                self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+            else:
+                ky = measure_cubemap_warp_ky(
+                    self.state.cubemap_net, *self.focal, self.static,
+                    int(calib.control_point_sample_scale))
+                self.cubemap_warp_ky = ky
             print(f"banded lens warp: ky={ky} (band={WARP_BAND})",
                   flush=True)
 
@@ -624,7 +656,7 @@ class CalibTrainer(Trainer):
                 self._steps[key] = make_cubemap_train_step(
                     self.static, self.rcfg, self.cfg, self.g_tx, self.txs,
                     self.active_sh_degree, *self.focal,
-                    spec_tx=self.spec_tx)
+                    spec_tx=self.spec_tx, warp_ky=self.cubemap_warp_ky)
         return self._steps[key]
 
     def _invoke_step(self, it, idx, gt):
@@ -642,7 +674,7 @@ class CalibTrainer(Trainer):
             self.state, (loss, _, n_drop, wover) = step(
                 self.state, gt_img, self.p_view, jnp.asarray(idx), self.bg)
         else:
-            self.state, (loss, _, n_drop) = step(
+            self.state, (loss, _, n_drop, wover) = step(
                 self.state, gt, jnp.asarray(idx), self.bg, self.sub_q[idx],
                 self.sub_t[idx])
         b = self.state.base
@@ -651,14 +683,22 @@ class CalibTrainer(Trainer):
                            n_dropped=n_drop, warp_overflow=wover)
 
     def _grow_warp_ky(self, overflow: int) -> None:
-        """Banded-warp window overflow: the lens field drifted past the
-        window measured at init. Re-measure from the CURRENT lens, take a
-        ladder step up, and re-trace the steps (compile-cache amortized,
-        like the instance-capacity ladder)."""
-        old = self.setup.warp_ky
-        ky = max(measure_warp_ky(self.state.lens, self.p_view, self.setup,
-                                 self.cfg.calib.apply2gt), old + 32)
-        self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        """Banded-warp window overflow: the lens/cubemap field drifted past
+        the window measured at init. Re-measure from the CURRENT field,
+        take a ladder step up, and re-trace the steps (compile-cache
+        amortized, like the instance-capacity ladder)."""
+        if self.mode == "fisheye":
+            old = self.setup.warp_ky
+            ky = max(measure_warp_ky(self.state.lens, self.p_view,
+                                     self.setup, self.cfg.calib.apply2gt),
+                     old + 32)
+            self.setup = dataclasses.replace(self.setup, warp_ky=ky)
+        else:
+            old = self.cubemap_warp_ky
+            ky = max(measure_cubemap_warp_ky(
+                self.state.cubemap_net, *self.focal, self.static,
+                int(self.cfg.calib.control_point_sample_scale)), old + 32)
+            self.cubemap_warp_ky = ky
         self._steps = {}
         print(f"[warp-ky] {overflow} window overflows: growing "
               f"warp_ky {old} -> {ky} (re-tracing)", flush=True)
@@ -748,7 +788,7 @@ def make_cubemap_eval_fn(trainer: "CalibTrainer"):
                                           t_init=sub_t[f])
             face_renders.append(one_render(sub_cam))
 
-        faces = cubemap_lib.render_cubemap_faces(
+        faces, _ = cubemap_lib.render_cubemap_faces(
             lambda i: face_renders[i], state.cubemap_net, K, static.width,
             static.height, scale, mask90)
         half_masks = [jnp.ones_like(circ)] + [

@@ -116,6 +116,12 @@ def banded_warp(image: jnp.ndarray, grid: jnp.ndarray, ky: int,
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
+    # non-finite coords (cubemap face grids have 0/0 at ray singularities)
+    # sample far outside -> exact zeros, matching the gather warp's
+    # inside-test; without this a NaN coordinate would poison its pixel's
+    # whole tent row through the matmul
+    fx = jnp.where(jnp.isfinite(fx), fx, -1e4)
+    fy = jnp.where(jnp.isfinite(fy), fy, -1e4)
 
     kyc = min(ky, h)
     nb = -(-ho // band)

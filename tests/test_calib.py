@@ -159,9 +159,9 @@ def test_cubemap_render_faces(rng):
     mask90 = cubemap.fov90_square_mask(32, 32, 16.0, 16.0)
     renders = [jnp.asarray(rng.random((3, 32, 32)).astype(np.float32))
                for _ in range(5)]
-    faces = cubemap.render_cubemap_faces(
+    faces, wover = cubemap.render_cubemap_faces(
         lambda i: renders[i], net, K, 32, 32, 4, mask90)
-    assert len(faces) == 5
+    assert len(faces) == 5 and int(wover) == 0
     for f in faces:
         assert f.shape == (3, 32, 32)
         assert np.isfinite(np.asarray(f)).all()

@@ -113,7 +113,7 @@ def test_cubemap_train_step_runs():
                              max_instances=2 ** 13),
         cfg, g_tx, txs, sh_degree=0, focal_x=24.0, focal_y=24.0)
     gt = jnp.full((3, 48, 48), 0.3)
-    st, (loss, face0, _) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
+    st, (loss, face0, *_) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
                              sub_q, sub_t)
     assert np.isfinite(float(loss))
     assert face0.shape == (3, 48, 48)
@@ -231,7 +231,7 @@ def test_cubemap_hybrid_optimizes_specular():
         cfg, g_tx, txs, sh_degree=0, focal_x=24.0, focal_y=24.0,
         spec_tx=spec_tx)
     gt = jnp.full((3, 48, 48), 0.3)
-    st, (loss, _, _) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
+    st, (loss, _, *_) = step(calib_state, gt, jnp.asarray(0), jnp.zeros(3),
                             sub_q, sub_t)
     assert np.isfinite(float(loss))
     assert _spec_delta(st.base.spec, calib_state.base.spec) > 0, \

@@ -257,12 +257,16 @@ def test_sharded_mcmc_relocation_runs():
     assert float(np.max(np.abs(np.asarray(tr.state.g.xyz) - xyz0))) > 0
 
 
-@pytest.mark.parametrize("flow_scale", [(1.0, 1.0), (1.5, 1.5)])
-def test_sharded_fisheye_step_matches_single_device(flow_scale):
+@pytest.mark.parametrize("flow_scale,banded", [
+    ((1.0, 1.0), False), ((1.5, 1.5), False),
+    ((1.0, 1.0), True), ((1.5, 1.5), True)])
+def test_sharded_fisheye_step_matches_single_device(flow_scale, banded):
     """One sharded fisheye train step (dist/calib.py) matches one
     single-chip fisheye step (train/calibrated.py) from the same CalibState:
     loss, Gaussian update, camera update, and lens update. flow_scale 1.0
-    exercises the no-crop warp branch; 1.5 the banded center-crop branch."""
+    exercises the no-crop warp branch; 1.5 the center-crop branch; banded
+    runs both steps under precision='fast' + warp_ky > 0 (the matmul warp,
+    value-parity across the slab/band decomposition)."""
     n_devices = 4
     if len(jax.devices()) < n_devices:
         pytest.skip("not enough devices")
@@ -310,7 +314,12 @@ def test_sharded_fisheye_step_matches_single_device(flow_scale):
         calib_state, base=dataclasses.replace(b2, cams=cams2))
 
     rcfg = RenderConfig(sh_degree=0, backend="jnp", max_instances=2 ** 13,
-                        max_per_tile=1024)
+                        max_per_tile=1024,
+                        precision="fast" if banded else "exact")
+    if banded:
+        ky = calibrated.measure_warp_ky(calib_state.lens, p_view, setup,
+                                        apply2gt=False)
+        setup = dataclasses.replace(setup, warp_ky=ky)
     fh, fw = setup.fish_hw
     fish_gt = jnp.asarray(
         np.random.default_rng(7).uniform(0, 1, (3, fh, fw)).astype(
@@ -587,8 +596,8 @@ def test_sharded_cubemap_step_matches_single_device():
     step_1 = calibrated.make_cubemap_train_step(
         static, rcfg, cfg, g_tx, txs, sh_degree=0, focal_x=24.0,
         focal_y=24.0)
-    st1, (loss1, _, _) = step_1(calib_state, gt, jnp.asarray(0), bg,
-                                sub_q, sub_t)
+    st1, (loss1, *_) = step_1(calib_state, gt, jnp.asarray(0), bg,
+                              sub_q, sub_t)
 
     step_n = make_sharded_cubemap_step(
         mesh, static, rcfg, cfg, g_tx, txs, sh_degree=0, focal_x=24.0,
@@ -597,8 +606,8 @@ def test_sharded_cubemap_step_matches_single_device():
     from bags_tpu.raster.binning import TILE_H
     h_pad = padded_height(48, n_devices, TILE_H)
     gt_pad = jnp.pad(gt, ((0, 0), (0, h_pad - 48), (0, 0)))
-    stn, (lossn, _) = step_n(calib_state, gt_pad, jnp.asarray(0), bg,
-                             sub_q, sub_t)
+    stn, (lossn, *_) = step_n(calib_state, gt_pad, jnp.asarray(0), bg,
+                              sub_q, sub_t)
 
     np.testing.assert_allclose(float(lossn), float(loss1),
                                rtol=1e-4, atol=1e-5)
