@@ -109,11 +109,14 @@ def analytic_inverse_flow(coeff, p_view: jnp.ndarray,
 
 
 def flow_error_px(lens_params: IResNetParams, coeff, p_view: jnp.ndarray,
-                  proj_scale, render_w: int) -> float:
+                  proj_scale, render_w: int, max_ndc: float = 1.0) -> float:
     """Mean |learned - true| undistortion flow over the in-frame control
-    points, in RENDER PIXELS: the recovered-lens error metric. The learned
-    flow is the iResNet inverse on the control grid (exactly what the warp
-    consumes); truth is the closed-form theta-poly inverse."""
+    points (|true NDC| <= max_ndc), in RENDER PIXELS: the recovered-lens
+    error metric. The learned flow is the iResNet inverse on the control
+    grid (exactly what the warp consumes); truth is the closed-form
+    theta-poly inverse. max_ndc < 1 restricts to the central region where
+    photometric supervision exists (the rim maps to the frame edge, where
+    the warp samples little content)."""
     p = np.asarray(p_view, np.float64)
     r_d = np.sqrt((p ** 2).sum(-1))
     theta = invert_theta_poly(r_d, coeff)
@@ -123,7 +126,7 @@ def flow_error_px(lens_params: IResNetParams, coeff, p_view: jnp.ndarray,
     proj = np.asarray(proj_scale, np.float64).reshape(1, 2)
     ndc_true = p_n_true * proj
     ndc_hat = p_n_hat * proj
-    valid = np.all(np.abs(ndc_true) <= 1.0, axis=-1)
+    valid = np.all(np.abs(ndc_true) <= max_ndc, axis=-1)
     if not valid.any():
         return float("nan")
     err_ndc = np.linalg.norm((ndc_hat - ndc_true)[valid], axis=-1)

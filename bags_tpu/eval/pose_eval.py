@@ -17,8 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.camera import CameraParams, pose_w2c
-from ..core.lie import rotation_distance
+from ..core.camera import CameraParams
 
 
 @dataclasses.dataclass
@@ -56,9 +55,30 @@ def procrustes_analysis(X0: np.ndarray, X1: np.ndarray) -> Sim3:
     return Sim3(t0=t0, t1=t1, s0=float(s0), s1=float(s1), R=R)
 
 
+def _rotations_f64(cams: CameraParams) -> np.ndarray:
+    """(N, 3, 3) w2c rotations in float64, composed HOST-SIDE.
+
+    The device path (pose_w2c + einsum) runs its products at DEFAULT
+    precision — bf16 operands on TPU — which is fine for training but
+    pollutes the METRIC: arccos near 1 amplifies 2^-9 rounding into
+    ~0.5 deg of phantom rotation error."""
+    q = np.asarray(cams.q_init, np.float64) + np.asarray(cams.dq, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
 def camera_centers(cams: CameraParams) -> np.ndarray:
-    R, t = pose_w2c(cams)
-    return np.asarray(-jnp.einsum("...ji,...j->...i", R, t))
+    R = _rotations_f64(cams)
+    t = np.asarray(cams.t_init, np.float64) + np.asarray(cams.dt, np.float64)
+    return np.einsum("...ji,...j->...i", -R, t)
 
 
 def align_and_pose_error(pred: CameraParams, gt: CameraParams
@@ -76,12 +96,14 @@ def align_and_pose_error(pred: CameraParams, gt: CameraParams
                     R=np.eye(3, dtype=np.float32))
 
     c_aligned = (c_pred - sim3.t1) / sim3.s1 @ sim3.R.T * sim3.s0 + sim3.t0
-    R_pred, _ = pose_w2c(pred)
-    R_gt, _ = pose_w2c(gt)
-    R_aligned = np.asarray(R_pred) @ sim3.R.T
-
-    rot_err = np.asarray(rotation_distance(jnp.asarray(R_aligned),
-                                           jnp.asarray(np.asarray(R_gt))))
+    # float64 host-side rotations + distance: the device einsum/arccos
+    # chain turns bf16 rounding into ~0.5 deg phantom error near identity
+    R_pred = _rotations_f64(pred)
+    R_gt = _rotations_f64(gt)
+    R_aligned = R_pred @ sim3.R.T.astype(np.float64)
+    R_rel = np.einsum("...ij,...kj->...ik", R_aligned, R_gt)
+    tr = np.trace(R_rel, axis1=-2, axis2=-1)
+    rot_err = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
     t_err = np.linalg.norm(c_aligned - c_gt, axis=-1)
     return sim3, {
         "rotation_deg": np.degrees(rot_err),

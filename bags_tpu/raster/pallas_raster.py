@@ -73,12 +73,15 @@ def _interpret() -> bool:
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 
-def _mm_prec(fast: bool):
-    """Matmul precision policy: exact mode runs HIGHEST (6 bf16 passes,
-    f32-exact); fast mode runs DEFAULT (ONE bf16 pass per operand pair,
-    f32 accumulation) — the relaxed-precision compositing mode
-    (RenderConfig.precision='fast'). Accumulators stay f32 either way."""
-    return jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+def _mm_prec(terms: int):
+    """Matmul precision policy for TRUE matmuls (non-0/1 operands): fast
+    mode (terms=1) runs DEFAULT (ONE bf16 pass per operand pair, f32
+    accumulation); exact2/exact (terms>=2) run HIGHEST (6 bf16 passes,
+    f32-exact) — Mosaic supports only these two dot precisions, and these
+    sites are minor next to the split-term prefix scans. Accumulators stay
+    f32 either way."""
+    return jax.lax.Precision.DEFAULT if terms == 1 else \
+        jax.lax.Precision.HIGHEST
 
 
 def _split3(x: jnp.ndarray):
@@ -96,17 +99,19 @@ def _split3(x: jnp.ndarray):
     return x0, x1, x2
 
 
-def _split_terms(x: jnp.ndarray, fast: bool):
-    """bf16 operand decomposition for exact-via-split matmuls: three exact
-    terms in exact mode, ONE rounded bf16 term in fast mode (relative error
-    <= 2^-9 per element, f32 accumulation unchanged)."""
-    if fast:
+def _split_terms(x: jnp.ndarray, terms: int):
+    """bf16 operand decomposition for exact-via-split matmuls against 0/1
+    matrices: `terms` leading bf16 terms of the exact 3-term decomposition.
+    terms=3 is f32-exact (2^-25); terms=2 is the exact2 midpoint (~2^-17
+    operand rounding, two one-pass matmuls); terms=1 is fast mode (~2^-9,
+    one pass). f32 accumulation in all modes."""
+    if terms == 1:
         return (x.astype(jnp.bfloat16),)
-    return _split3(x)
+    return _split3(x)[:terms]
 
 
 def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool,
-                     fast: bool = False) -> jnp.ndarray:
+                     terms: int = 3) -> jnp.ndarray:
     """Prefix sum along axis 1 (lanes) of (NPIX, L) as triangular
     (NPIX, L) x (L, L) matmuls on the MXU, freeing the VPU (the kernel's
     bottleneck) of the 21-op Hillis-Steele shift-add scan. Mosaic has no
@@ -122,7 +127,7 @@ def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool,
     c = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
     tri = ((r < c) if exclusive else (r <= c)).astype(jnp.bfloat16)
     out = None
-    for part in _split_terms(x, fast):
+    for part in _split_terms(x, terms):
         term = jax.lax.dot_general(
             part, tri, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -130,13 +135,13 @@ def _lane_prefix_sum(x: jnp.ndarray, exclusive: bool,
     return out
 
 
-def _lane_sum(x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
+def _lane_sum(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
     """(NPIX, L) -> (NPIX, 1) row sums on the MXU (ones matvec)."""
     ones = jnp.ones((x.shape[1], 1), jnp.float32)
     return jax.lax.dot_general(
         x, ones, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_mm_prec(fast))
+        precision=_mm_prec(terms))
 
 
 def _pix_sum(x: jnp.ndarray) -> jnp.ndarray:
@@ -148,11 +153,11 @@ def _pix_sum(x: jnp.ndarray) -> jnp.ndarray:
         precision=_MM_PREC)
 
 
-def _chunk_forward(chunk, px, py, t_run, done, valid, fast: bool = False):
+def _chunk_forward(chunk, px, py, t_run, done, valid, terms: int = 3):
     """Shared fwd math for one chunk. Returns per-chunk tensors.
 
     chunk: (FEATS, K); px/py: (NPIX, 1); t_run/done: (NPIX, 1);
-    valid: (1, K); fast: relaxed-precision scans/reductions (see _mm_prec).
+    valid: (1, K); terms: bf16 split-term count for scans/reductions (see _split_terms).
 
     One MXU scan, no index search: t_before comes from the exclusive prefix
     of log(1-a) over ALL candidate alphas. Because t_before is non-increasing
@@ -177,7 +182,7 @@ def _chunk_forward(chunk, px, py, t_run, done, valid, fast: bool = False):
     a = jnp.where(ok, alpha, 0.0)
 
     log_om = jnp.log1p(-a)
-    log_cum_excl = _lane_prefix_sum(log_om, exclusive=True, fast=fast)
+    log_cum_excl = _lane_prefix_sum(log_om, exclusive=True, terms=terms)
     t_before = t_run * jnp.exp(log_cum_excl)
     # The Gaussian that trips the termination test is itself EXCLUDED from
     # compositing (CUDA: `if (test_T < 0.0001) { done = true; continue; }`).
@@ -190,7 +195,7 @@ def _chunk_forward(chunk, px, py, t_run, done, valid, fast: bool = False):
     # dispatches per chunk.
     both = _lane_sum(jnp.concatenate(
         [jnp.where(include, log_om, 0.0), kill.astype(jnp.float32)], axis=0),
-        fast=fast)
+        terms=terms)
     log_sum_inc = both[:NPIX]
     n_kill = both[NPIX:]
     t_run_new = t_run * jnp.exp(log_sum_inc)
@@ -219,7 +224,7 @@ def _color4(chunk):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tiles_x: int, max_chunks: int, lanes: int, fast: bool,
+def _fwd_kernel(tiles_x: int, max_chunks: int, lanes: int, terms: int,
                 chunk0_ref, off_ref, count_ref, nxt_ref, rows_hbm,
                 out_color, out_t, scratch, sems):
     t = pl.program_id(0)
@@ -289,12 +294,12 @@ def _fwd_kernel(tiles_x: int, max_chunks: int, lanes: int, fast: bool,
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
         pos = i * lanes + lane_i
         valid = (pos >= off) & (pos < off + count)
-        f = _chunk_forward(chunk, px, py, t_run, done, valid, fast=fast)
+        f = _chunk_forward(chunk, px, py, t_run, done, valid, terms=terms)
         # rgb + expected-depth accumulation in one (4,K) x (NPIX,K)^T matmul
         acc = acc + jax.lax.dot_general(
             _color4(chunk), f["w"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_prec(fast))
+            precision=_mm_prec(terms))
 
         return i + 1, acc, f["t_run"], f["done"]
 
@@ -326,7 +331,7 @@ def _fwd_kernel(tiles_x: int, max_chunks: int, lanes: int, fast: bool,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
+def _bwd_kernel(tiles_x: int, max_chunks: int, terms: int,
                 chunk0_ref, off_ref, count_ref, nxt_ref, ocs_ref, rows_hbm,
                 g_color_ref, g_t_ref, c_total_ref, t_final_ref,
                 drows_hbm, scratch, dscratch, sems, dsems):
@@ -439,7 +444,7 @@ def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         pos = i * K + lanes
         valid = (pos >= off) & (pos < off + count)
-        f = _chunk_forward(chunk, px, py, t_run, done, valid, fast=fast)
+        f = _chunk_forward(chunk, px, py, t_run, done, valid, terms=terms)
 
         w, include, t_before = f["w"], f["include"], f["t_before"]
         a_inc = jnp.where(include, f["a"], 0.0)
@@ -448,11 +453,11 @@ def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
         # gdotcolor_i = sum_c g_c color_ci : one (NPIX,4)x(4,K) MXU matmul.
         gdotcolor = jax.lax.dot_general(
             g, _color4(chunk), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_mm_prec(fast))
+            preferred_element_type=jnp.float32, precision=_mm_prec(terms))
 
         # suffix_i = <g, C_total> - inclusive-prefix_i <g, c w> — ONE scan.
         prefix_in = _lane_prefix_sum(gdotcolor * w, exclusive=False,
-                                     fast=fast) + prefix
+                                     terms=terms) + prefix
         suffix = g_dot_ctotal - prefix_in
 
         # dL/dalpha_i = gdotcolor_i T_i - suffix_i/(1-a_i) - g_T T_fin/(1-a_i)
@@ -477,7 +482,7 @@ def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
         d_aG = jnp.where((op * G) < ALPHA_MAX, d_alpha, 0.0)
         d_power = d_aG * (op * G)
         mom = None
-        for part in _split_terms(d_power, fast):
+        for part in _split_terms(d_power, terms):
             term = jax.lax.dot_general(
                 basis, part, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -499,7 +504,7 @@ def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
         d_col = jax.lax.dot_general(                           # (4, K)
             g, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mm_prec(fast))
+            precision=_mm_prec(terms))
 
         zeros = jnp.zeros((FEATS - 10, K), jnp.float32)
         dchunk = jnp.concatenate(
@@ -560,9 +565,9 @@ def _bwd_kernel(tiles_x: int, max_chunks: int, fast: bool,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_core(rows, tile_start, tile_count, tiles_x, tiles_y, fast):
+def _composite_core(rows, tile_start, tile_count, tiles_x, tiles_y, terms):
     color, t_final = _composite_fwd_call(rows, tile_start, tile_count,
-                                         tiles_x, tiles_y, fast=fast)
+                                         tiles_x, tiles_y, terms=terms)
     return color, t_final
 
 
@@ -587,7 +592,7 @@ def _window_scalars(tile_start, tile_count):
 
 
 def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y,
-                        fast: bool = False):
+                        terms: int = 3):
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     assert rows.shape[0] == FEATS and m_pad % K == 0
@@ -613,7 +618,7 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y,
     )
     color, t_final = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x, -(-m_pad // lanes), lanes,
-                          fast),
+                          terms),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 4, NPIX), jnp.float32),
@@ -624,14 +629,15 @@ def _composite_fwd_call(rows, tile_start, tile_count, tiles_x, tiles_y,
     return color, t_final[:, :, 0]
 
 
-def _composite_core_fwd(rows, tile_start, tile_count, tiles_x, tiles_y, fast):
+def _composite_core_fwd(rows, tile_start, tile_count, tiles_x, tiles_y,
+                        terms):
     color, t_final = _composite_fwd_call(rows, tile_start, tile_count,
-                                         tiles_x, tiles_y, fast=fast)
+                                         tiles_x, tiles_y, terms=terms)
     return (color, t_final), (rows, tile_start, tile_count, color, t_final)
 
 
 def composite_bwd_padded(rows, tile_start, tile_count, tiles_x, tiles_y,
-                         g_color, g_t, color, t_final, fast: bool = False):
+                         g_color, g_t, color, t_final, terms: int = 3):
     """Backward kernel call. Returns the PADDED gradient buffer
     (FEATS, padded_chunks * K): tile t's gradient rows live at columns
     (ocs[t] - chunk0[t]) * K + s for slot s in [start, start+count);
@@ -664,7 +670,7 @@ def composite_bwd_padded(rows, tile_start, tile_count, tiles_x, tiles_y,
     )
     c_out = padded_chunks(m_pad, num_tiles)
     d_pad = pl.pallas_call(
-        functools.partial(_bwd_kernel, tiles_x, m_pad // K, fast),
+        functools.partial(_bwd_kernel, tiles_x, m_pad // K, terms),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((FEATS, c_out * K), jnp.float32)],
         interpret=_interpret(),
@@ -691,14 +697,14 @@ def padded_slot_positions(tile_start, tile_count, m_pad: int,
     return jnp.where(slots < total, jnp.take(base, tid) + slots, c_out * K)
 
 
-def _composite_core_bwd(tiles_x, tiles_y, fast, res, cts):
+def _composite_core_bwd(tiles_x, tiles_y, terms, res, cts):
     rows, tile_start, tile_count, color, t_final = res
     g_color, g_t = cts
     num_tiles = tiles_x * tiles_y
     m_pad = rows.shape[1]
     d_pad = composite_bwd_padded(rows, tile_start, tile_count,
                                  tiles_x, tiles_y, g_color, g_t,
-                                 color, t_final, fast=fast)
+                                 color, t_final, terms=terms)
     # Un-pad back to the rows layout (one extra (FEATS, m) gather; the
     # fused render path skips this by reducing straight from the padded
     # buffer — see render.py).
@@ -711,13 +717,13 @@ _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
 def composite_tiles_pallas(rows, tile_start, tile_count, tiles_x, tiles_y,
-                           bg, fast: bool = False) -> TileImage:
+                           bg, terms: int = 3) -> TileImage:
     """Pallas compositor over feature-major sorted instance rows
     (16, M_aligned): [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity,
     depth, 0...]. Returns rgb (bg-blended), expected depth, and final
     transmittance."""
     out, t_final = _composite_core(rows, tile_start, tile_count,
-                                   tiles_x, tiles_y, fast)
+                                   tiles_x, tiles_y, terms)
     out = jnp.transpose(out, (0, 2, 1))                # (T, NPIX, 4)
     color = out[..., :3] + t_final[..., None] * bg[None, None, :]
     return TileImage(color=color, t_final=t_final, depth=out[..., 3])

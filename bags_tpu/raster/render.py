@@ -49,6 +49,10 @@ from .segsum import segment_sum_sorted
 FEATS = 16  # row features: x2d y2d ca cb cc r g b o depth + 6 zero pad
 F_ACTIVE = 10
 
+# precision mode -> bf16 split-term count for the Pallas compositor's
+# scans/reductions (pallas_raster._split_terms)
+PRECISION_TERMS = {"fast": 1, "exact2": 2, "exact": 3}
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -61,17 +65,19 @@ class RenderConfig:
     scale_modifier: float = 1.0
     sort_by_distance: bool = False  # fork's cubemap variant (README.md:126)
     # "exact": CUDA-parity f32 compositing via 3x-bf16-split MXU passes.
+    # "exact2": the 2-term-split midpoint (~2^-17 operand rounding, two
+    # one-pass matmuls per scan — VERDICT r4 #7).
     # "fast": single-pass bf16 MXU scans/reductions with f32 accumulation
     # (<= 2^-9 operand rounding; quality delta quantified in
     # tests/test_precision.py + README). Pallas backend only; the jnp
     # fallback always composites exactly.
-    precision: str = "exact"     # "exact" | "fast"
+    precision: str = "exact"     # "exact" | "exact2" | "fast"
 
     def __post_init__(self):
-        if self.precision not in ("exact", "fast"):
+        if self.precision not in ("exact", "exact2", "fast"):
             raise ValueError(
-                f"RenderConfig.precision must be 'exact' or 'fast', "
-                f"got {self.precision!r}")
+                f"RenderConfig.precision must be 'exact', 'exact2' or "
+                f"'fast', got {self.precision!r}")
 
 
 class RenderOutput(NamedTuple):
@@ -206,23 +212,25 @@ def gather_rows(table: jnp.ndarray, abs_probe, bins: TileBins) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast):
+def _fused_fwd_impl(table, bins, tiles_x, tiles_y, terms):
     from .pallas_raster import _composite_fwd_call
 
     rows = _take_rows(table, bins)
     color, t_final = _composite_fwd_call(
-        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y, fast=fast)
+        rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y,
+        terms=terms)
     return color, t_final, rows
 
 
-def _fused_bwd_impl(bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
+def _fused_bwd_impl(bins, tiles_x, tiles_y, terms, rows, color, t_final,
+                    cts,
                     with_abs: bool):
     from .pallas_raster import composite_bwd_padded
 
     g_color, g_t = cts
     d_pad = composite_bwd_padded(
         rows, bins.tile_start, bins.tile_count, tiles_x, tiles_y,
-        g_color, g_t, color, t_final, fast=fast)
+        g_color, g_t, color, t_final, terms=terms)
     grouped = jnp.take(d_pad[:F_ACTIVE], bins.order2p, axis=1,
                        mode="fill", fill_value=0.0)
     if with_abs:
@@ -240,21 +248,22 @@ def _fused_bwd_impl(bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_composite_plain(table, bins, tiles_x, tiles_y, fast):
-    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast)
+def _fused_composite_plain(table, bins, tiles_x, tiles_y, terms):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
+                                        terms)
     return color, t_final
 
 
-def _fused_plain_fwd(table, bins, tiles_x, tiles_y, fast):
+def _fused_plain_fwd(table, bins, tiles_x, tiles_y, terms):
     color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
-                                           fast)
+                                           terms)
     return (color, t_final), (bins, rows, color, t_final)
 
 
-def _fused_plain_bwd(tiles_x, tiles_y, fast, res, cts):
+def _fused_plain_bwd(tiles_x, tiles_y, terms, res, cts):
     bins, rows, color, t_final = res
     d_table, _, zeros_bins = _fused_bwd_impl(
-        bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
+        bins, tiles_x, tiles_y, terms, rows, color, t_final, cts,
         with_abs=False)
     return d_table, zeros_bins
 
@@ -263,21 +272,22 @@ _fused_composite_plain.defvjp(_fused_plain_fwd, _fused_plain_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_composite_abs(table, abs_probe, bins, tiles_x, tiles_y, fast):
-    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y, fast)
+def _fused_composite_abs(table, abs_probe, bins, tiles_x, tiles_y, terms):
+    color, t_final, _ = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
+                                        terms)
     return color, t_final
 
 
-def _fused_abs_fwd(table, abs_probe, bins, tiles_x, tiles_y, fast):
+def _fused_abs_fwd(table, abs_probe, bins, tiles_x, tiles_y, terms):
     color, t_final, rows = _fused_fwd_impl(table, bins, tiles_x, tiles_y,
-                                           fast)
+                                           terms)
     return (color, t_final), (bins, rows, color, t_final)
 
 
-def _fused_abs_bwd(tiles_x, tiles_y, fast, res, cts):
+def _fused_abs_bwd(tiles_x, tiles_y, terms, res, cts):
     bins, rows, color, t_final = res
     d_table, d_absp, zeros_bins = _fused_bwd_impl(
-        bins, tiles_x, tiles_y, fast, rows, color, t_final, cts,
+        bins, tiles_x, tiles_y, terms, rows, color, t_final, cts,
         with_abs=True)
     return d_table, d_absp, zeros_bins
 
@@ -287,14 +297,14 @@ _fused_composite_abs.defvjp(_fused_abs_fwd, _fused_abs_bwd)
 
 def fused_composite_pallas(table, abs_probe, bins: TileBins,
                            tiles_x: int, tiles_y: int, bg,
-                           fast: bool = False) -> tiles.TileImage:
+                           terms: int = 3) -> tiles.TileImage:
     """Gather + Pallas composite under ONE custom VJP (see block comment)."""
     if abs_probe is None:
         out, t_final = _fused_composite_plain(table, bins, tiles_x, tiles_y,
-                                              fast)
+                                              terms)
     else:
         out, t_final = _fused_composite_abs(table, abs_probe, bins,
-                                            tiles_x, tiles_y, fast)
+                                            tiles_x, tiles_y, terms)
     out = jnp.transpose(out, (0, 2, 1))                # (T, NPIX, 4)
     color = out[..., :3] + t_final[..., None] * bg[None, None, :]
     return tiles.TileImage(color=color, t_final=t_final, depth=out[..., 3])
@@ -356,7 +366,7 @@ def render(
         # (abs_probe None — eval/bench — selects the 10-row reduction).
         tile_img = fused_composite_pallas(table, abs_probe, bins,
                                           tiles_x, tiles_y, bg,
-                                          fast=(cfg.precision == "fast"))
+                                          terms=PRECISION_TERMS[cfg.precision])
     else:
         rows = gather_rows(table, abs_probe, bins)   # (FEATS, M + CHUNK)
         tile_img = tiles.composite_tiles_jnp(

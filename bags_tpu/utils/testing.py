@@ -8,6 +8,35 @@ import jax.numpy as jnp
 from ..core.camera import CameraParams, CameraStatic
 
 
+def make_lookat_cameras(n_cams: int, fovx: float, fovy: float,
+                        center=(0.0, 0.0, 6.0), radius: float = 6.0,
+                        spread: float = 0.5, elev: float = 0.12):
+    """Cameras on an arc with DISTINCT centers, all looking at `center`.
+
+    Pure-rotation rigs (shared camera center) are degenerate for
+    self-calibration — any radial remap can be absorbed by per-view
+    homographies — so lens/pose recovery experiments need real parallax.
+    Returns a list of CameraParams (w2c convention: X_cam = R X + t,
+    t = -R C).
+    """
+    center = np.asarray(center, np.float64)
+    cams = []
+    for i in range(n_cams):
+        a = spread * (i - (n_cams - 1) / 2) / max(n_cams - 1, 1) * 2
+        b = elev * np.sin(1.7 * i)
+        C = center + radius * np.array([np.sin(a), np.sin(b),
+                                        -np.cos(a) * np.cos(b)])
+        f = center - C
+        f = f / np.linalg.norm(f)
+        r = np.cross([0.0, 1.0, 0.0], f)
+        r = r / np.linalg.norm(r)
+        u = np.cross(f, r)
+        R = np.stack([r, u, f]).astype(np.float32)
+        t = (-R @ C.astype(np.float32)).astype(np.float32)
+        cams.append(CameraParams.create(R, t, fovx, fovy))
+    return cams
+
+
 def make_toy_scene(n: int = 500, seed: int = 0, width: int = 64,
                    height: int = 64, sh_degree: int = 0, depth_range=(4.0, 8.0),
                    scale_range=(0.02, 0.12)):

@@ -140,7 +140,7 @@ def main(batch_cams: int = 1, large: bool = False):
                                       batch_cams)
 
     vals = {}
-    for precision in ("fast", "exact"):
+    for precision in ("fast", "exact2", "exact"):
         cfg = RenderConfig(sh_degree=3, backend=backend, max_instances=cap,
                            precision=precision)
         vals[precision] = _measure(sc, static, cfg, batch_cams,
@@ -155,6 +155,9 @@ def main(batch_cams: int = 1, large: bool = False):
         "precision": "fast",
         "value_exact": round(vals["exact"], 1),
         "vs_baseline_exact": round(vals["exact"] / BASELINE_PIXELS_PER_S, 4),
+        "value_exact2": round(vals["exact2"], 1),
+        "vs_baseline_exact2": round(vals["exact2"] / BASELINE_PIXELS_PER_S,
+                                    4),
     }))
 
 

@@ -77,6 +77,37 @@ def test_fast_grads_close_to_exact():
     assert np.linalg.norm(cf - ce) / (np.linalg.norm(ce) + 1e-30) < 0.05
 
 
+def test_exact2_midpoint_between_fast_and_exact():
+    """precision='exact2' (2-term bf16 split, ~2^-17 operand rounding,
+    VERDICT r4 #7): image error must sit orders of magnitude under fast's
+    2^-9 bound, and gradients must be near-exact."""
+    sc = make_toy_scene(n=400, width=48, height=32, sh_degree=1, seed=24)
+    out_e = render(*_args(sc), sc["static"], _cfg("exact"))
+    out_2 = render(*_args(sc), sc["static"], _cfg("exact2"))
+    err = np.max(np.abs(np.asarray(out_2.render) - np.asarray(out_e.render)))
+    assert err < 1e-5, err  # vs fast's ~1e-3 at the same scene scale
+
+    target = jnp.full((3, 32, 32), 0.3)
+    sc2 = make_toy_scene(n=300, width=32, height=32, sh_degree=1, seed=22)
+
+    def make_loss(precision):
+        cfg = _cfg(precision)
+
+        def loss(xyz, scales, quats, opacity, sh, cam):
+            out = render(xyz, scales, quats, opacity, sh, cam,
+                         sc2["static"], cfg)
+            return jnp.mean((out.render - target) ** 2)
+        return loss
+
+    g_e = jax.grad(make_loss("exact"), argnums=tuple(range(6)))(*_args(sc2))
+    g_2 = jax.grad(make_loss("exact2"), argnums=tuple(range(6)))(*_args(sc2))
+    for a, b in zip(jax.tree_util.tree_leaves(g_e),
+                    jax.tree_util.tree_leaves(g_2)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.max(np.abs(b - a)) / (np.max(np.abs(a)) + 1e-12)
+        assert rel < 1e-3, rel
+
+
 def test_fast_abs_probe_channel_survives():
     """The fused abs-densify channel works identically under fast mode."""
     sc = make_toy_scene(n=200, width=32, height=32, sh_degree=0, seed=23)

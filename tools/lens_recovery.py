@@ -35,7 +35,13 @@ def main(argv=None):
     p.add_argument("--init_coeff", type=float, nargs=4,
                    default=[-0.04, 0.0, 0.0, 0.0])
     p.add_argument("--report_every", type=int, default=200)
-    p.add_argument("--opt_cam", action="store_true", default=True)
+    p.add_argument("--opt_cam", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--scale_range", type=float, nargs=2,
+                   default=[0.02, 0.09],
+                   help="Gaussian scale range: big enough that the render "
+                        "covers the frame (a sparse black scene makes the "
+                        "mask-shrink degeneracy cheap for the optimizer)")
     args = p.parse_args(argv)
 
     from bags_tpu.utils.cache import enable_persistent_cache
@@ -60,7 +66,7 @@ def main(argv=None):
 
     wh, focal = args.wh, args.focal_frac * args.wh
     sc = make_toy_scene(n=args.n, width=wh, height=wh, sh_degree=1, seed=11,
-                        scale_range=(0.01, 0.05))
+                        scale_range=tuple(args.scale_range))
     setup = calibrated.make_fisheye_setup(
         focal_x=focal, focal_y=focal, persp_wh=(wh, wh), fish_wh=(wh, wh),
         control_point_sample_scale=8)
@@ -77,23 +83,20 @@ def main(argv=None):
     # GT fisheye views through the TRUE lens from clean poses (held-out
     # split: every 4th view)
     rng = np.random.default_rng(0)
-    cams, fish_gts = [], []
+    fish_gts = []
     render_j = jax.jit(lambda cam: render(
         sc["xyz"], sc["scales"], sc["quats"], sc["opacity"],
         sc["sh_coeffs"], cam, static, rcfg_gt).render)
     warp_j = jax.jit(lambda img: apply_distortion(
         None, p_view, setup.grid_hw, img, proj, setup.flow_hw,
         final_hw=setup.fish_hw, apply2gt=False, flow=true_flow)[0])
-    for i in range(args.n_cams):
-        a = 0.04 * (i - args.n_cams / 2)
-        b = 0.02 * np.sin(1.7 * i)
-        Ry = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
-                       [-np.sin(a), 0, np.cos(a)]], np.float32)
-        Rx = np.array([[1, 0, 0], [0, np.cos(b), -np.sin(b)],
-                       [0, np.sin(b), np.cos(b)]], np.float32)
-        cam = CameraParams.create(Rx @ Ry, np.zeros(3, np.float32),
-                                  setup.fovx, setup.fovy)
-        cams.append(cam)
+    # look-at rig with real parallax (a shared-center pure-rotation rig is
+    # degenerate for self-calibration: radial remaps are absorbable)
+    from bags_tpu.utils.testing import make_lookat_cameras
+    cams = make_lookat_cameras(args.n_cams, setup.fovx, setup.fovy,
+                               center=(0.0, 0.0, 6.0), radius=6.0,
+                               spread=0.5)
+    for cam in cams:
         fish_gts.append(np.asarray(warp_j(render_j(cam))))
     clean_cams = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
     fish_gts = np.stack(fish_gts)
@@ -130,11 +133,13 @@ def main(argv=None):
                                     args.init_coeff, iters=3000, lr=3e-4)
     calib_state = dataclasses.replace(calib_state, lens=lens)
 
-    def ferr(state):
+    def ferr(state, max_ndc=1.0):
         return flow_error_px(state.lens, args.true_coeff, p_view,
-                             np.asarray(proj), static.width)
+                             np.asarray(proj), static.width,
+                             max_ndc=max_ndc)
 
     err0 = ferr(calib_state)
+    err0_c = ferr(calib_state, max_ndc=0.7)
     _, perr0 = align_and_pose_error(noisy, clean_cams)
     print(f"init: flow err {err0:.3f}px, pose rot "
           f"{perr0['rotation_deg_mean']:.4f}deg", flush=True)
@@ -158,13 +163,15 @@ def main(argv=None):
                                        p_view, jnp.asarray(int(idx)), bg)
         if (i + 1) % args.report_every == 0:
             e = ferr(st)
+            ec = ferr(st, max_ndc=0.7)
             _, pe = align_and_pose_error(st.base.cams, clean_cams)
             trace.append(dict(it=i + 1, loss=float(loss), flow_err_px=e,
+                              flow_err_center_px=ec,
                               rot_deg=pe["rotation_deg_mean"],
                               wover=int(wover)))
             print(f"it {i+1}: loss {float(loss):.4f} flow {e:.3f}px "
-                  f"rot {pe['rotation_deg_mean']:.4f}deg wover "
-                  f"{int(wover)}", flush=True)
+                  f"(center {ec:.3f}) rot {pe['rotation_deg_mean']:.4f}deg "
+                  f"wover {int(wover)}", flush=True)
     jax.block_until_ready(st.base.g.xyz)
     dt = time.perf_counter() - t0
 
@@ -192,6 +199,8 @@ def main(argv=None):
     out = dict(metric="lens_recovery",
                flow_err_init_px=round(err0, 4),
                flow_err_final_px=round(err1, 4),
+               flow_err_center_init_px=round(err0_c, 4),
+               flow_err_center_final_px=round(ferr(st, max_ndc=0.7), 4),
                pose_rot_init_deg=round(perr0["rotation_deg_mean"], 5),
                pose_rot_final_deg=round(perr1["rotation_deg_mean"], 5),
                pose_trans_final=round(perr1["translation_mean"], 6),

@@ -96,17 +96,23 @@ def run_one(n_devices: int, base_gauss=4096, base_rows=4, fixed=False):
     hlo = lowered.compile().as_text()
     colls = parse_collectives(hlo)
 
-    # timed steps
-    tr.run(iterations=2)  # warm
-    t0 = time.perf_counter()
-    iters = 8
-    tr.run(iterations=iters)
-    jax = sys.modules["jax"]
-    jax.block_until_ready(tr.state.g.xyz)
-    dt = (time.perf_counter() - t0) / iters
+    # timed steps: per-step medians with warmup discard (the r4 table's
+    # efficiency column was oversubscription noise — 45/73/40% at 2/4/8;
+    # median-of-k + IQR makes the noise visible instead of presented)
+    import numpy as np
+    warmup, reps = 3, 12
+    times = []
+    for i in range(warmup + reps):
+        t0 = time.perf_counter()
+        tr.run(iterations=1)
+        jax.block_until_ready(tr.state.g.xyz)
+        times.append(time.perf_counter() - t0)
+    ts = np.asarray(sorted(times[warmup:]))
+    dt = float(np.median(ts))
+    iqr = float(ts[int(len(ts) * 0.75)] - ts[int(len(ts) * 0.25)])
     pixels = width * height
-    return dict(n=n_devices, step_ms=dt * 1e3, pixels=pixels,
-                pix_per_s=pixels / dt, collectives=colls)
+    return dict(n=n_devices, step_ms=dt * 1e3, iqr_ms=iqr * 1e3,
+                pixels=pixels, pix_per_s=pixels / dt, collectives=colls)
 
 
 def main(argv=None):
@@ -134,12 +140,16 @@ def main(argv=None):
 
     rows = [run_one(n, fixed=args.fixed) for n in args.devices]
     base = rows[0]
-    eff_name = "strong-scaling eff." if args.fixed else "weak-scaling eff."
-    lines = [
-        f"| devices | pixels/step | step ms | pix/s | {eff_name} | "
-        "collectives (op: count, MB/step) |",
-        "|---|---|---|---|---|---|",
-    ]
+    # Efficiency is only meaningful on real chips: a virtual CPU mesh runs
+    # devices x base work on ONE host's fixed cores, so an "efficiency"
+    # column there measures oversubscription, not the framework. On CPU,
+    # report the measured step time + spread and the collective schedule.
+    eff_name = ("strong-scaling eff." if args.fixed
+                else "weak-scaling eff.") if args.tpu else None
+    head = "| devices | pixels/step | step ms (median, IQR) | pix/s | "
+    head += (f"{eff_name} | " if eff_name else "")
+    head += "collectives (op: count, MB/step) |"
+    lines = [head, "|---|---|---|---|" + ("--|" if eff_name else "") + "--|"]
     for r in rows:
         if args.fixed:
             eff = r["pix_per_s"] / (base["pix_per_s"] * r["n"])
@@ -148,17 +158,23 @@ def main(argv=None):
         cols = "; ".join(
             f"{op}: {cnt}x, {byt / 1e6:.2f}"
             for op, (cnt, byt) in sorted(r["collectives"].items()))
-        lines.append(
-            f"| {r['n']} | {r['pixels']} | {r['step_ms']:.1f} | "
-            f"{r['pix_per_s'] / 1e6:.2f}M | {eff * 100:.0f}% | {cols} |")
+        cells = [f"{r['n']}", f"{r['pixels']}",
+                 f"{r['step_ms']:.1f} ± {r['iqr_ms']:.1f}",
+                 f"{r['pix_per_s'] / 1e6:.2f}M"]
+        if eff_name:
+            cells.append(f"{eff * 100:.0f}%")
+        cells.append(cols)
+        lines.append("| " + " | ".join(cells) + " |")
     table = "\n".join(lines)
     if not args.tpu:
         table += (
             "\n\nNote: virtual CPU mesh — all devices share one host's "
-            "cores, so total compute is devices x base on fixed silicon and "
-            "the efficiency column is a lower bound (it folds in host "
-            "oversubscription). The collective schedule (op counts, bytes) "
-            "is the real GSPMD output a TPU mesh compiles to.")
+            "cores (total compute grows with the mesh on fixed silicon), "
+            "so no efficiency column is printed: the CPU step-time trend "
+            "only exposes serialization bugs. The collective schedule "
+            "(op counts, bytes) is the real GSPMD output a TPU mesh "
+            "compiles to; tests/test_overlap.py asserts its async overlap "
+            "on the chipless-compiled TPU schedule.")
     print(table)
     if args.md:
         with open(args.md, "w") as f:
