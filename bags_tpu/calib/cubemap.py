@@ -75,13 +75,28 @@ def face_grid(K: jnp.ndarray, rays_hom: jnp.ndarray, face: str, height: int,
 
 
 def warp_to_face(K: jnp.ndarray, rays_hom: jnp.ndarray, img: jnp.ndarray,
-                 face: str, height: int, width: int, warp_ky: int = 0):
+                 face: str, height: int, width: int, warp_ky: int = 0,
+                 transposed: bool = False):
     """Project the (re-projected) distorted rays through K and grid-sample
     the face render (:169-189). warp_ky > 0 selects the gather-free banded
     warp (fast mode); returns (warped, overflow) — overflow is always 0 on
-    the gather path."""
+    the gather path.
+
+    `transposed` runs the banded warp on the TRANSPOSED image/grid: the
+    left/right face reprojections map output ROWS across source COLUMNS
+    (p = (-z/x, -y/x) — the source-y coordinate varies with output x), so
+    their row-band windows span nearly the full image; banding over output
+    columns instead gives a small window again. Value-identical (bilinear
+    sampling commutes with the transposition)."""
     grid = face_grid(K, rays_hom, face, height, width, img.shape[-2:])
     if warp_ky:
+        if transposed:
+            out, over = banded_warp(
+                jnp.transpose(img, (0, 2, 1)),
+                jnp.transpose(grid, (1, 0, 2))[..., ::-1],
+                ky=warp_ky, band=WARP_BAND,
+                precision=jax.lax.Precision.DEFAULT)
+            return jnp.transpose(out, (0, 2, 1)), over
         return banded_warp(img, grid, ky=warp_ky, band=WARP_BAND,
                            precision=jax.lax.Precision.DEFAULT)
     return grid_sample(img, grid, align_corners=True), jnp.asarray(
@@ -159,7 +174,8 @@ FACES = ("forward", "up", "down", "left", "right")
 def render_cubemap_faces(render_face: Callable[[int], jnp.ndarray],
                          cubemap_net: IResNetParams, K, width: int,
                          height: int, control_point_sample_scale: int,
-                         mask_fov90: jnp.ndarray, warp_ky: int = 0):
+                         mask_fov90: jnp.ndarray, warp_ky: int = 0,
+                         transposed=None):
     """Render + warp the five faces (`render_cubemap` :219-288).
 
     render_face(i) must return the (3, H, W) render for face i in FACES
@@ -174,10 +190,12 @@ def render_cubemap_faces(render_face: Callable[[int], jnp.ndarray],
                               control_point_sample_scale)
     out = []
     wover = jnp.asarray(0, jnp.int32)
+    transposed = transposed or (False,) * len(FACES)
     for i, face in enumerate(FACES):
         img = render_face(i) * mask_fov90
         warped, over = warp_to_face(K, rays_hom, img, face, height, width,
-                                    warp_ky=warp_ky)
+                                    warp_ky=warp_ky,
+                                    transposed=transposed[i])
         wover = wover + over
         if face != "forward":
             warped = mask_half(warped, face)

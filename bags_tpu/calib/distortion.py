@@ -109,7 +109,8 @@ def analytic_inverse_flow(coeff, p_view: jnp.ndarray,
 
 
 def flow_error_px(lens_params: IResNetParams, coeff, p_view: jnp.ndarray,
-                  proj_scale, render_w: int, max_ndc: float = 1.0) -> float:
+                  proj_scale, render_w: int, max_ndc: float = 1.0,
+                  fit_scale: bool = False) -> float:
     """Mean |learned - true| undistortion flow over the in-frame control
     points (|true NDC| <= max_ndc), in RENDER PIXELS: the recovered-lens
     error metric. The learned flow is the iResNet inverse on the control
@@ -129,7 +130,15 @@ def flow_error_px(lens_params: IResNetParams, coeff, p_view: jnp.ndarray,
     valid = np.all(np.abs(ndc_true) <= max_ndc, axis=-1)
     if not valid.any():
         return float("nan")
-    err_ndc = np.linalg.norm((ndc_hat - ndc_true)[valid], axis=-1)
+    h, t = ndc_hat[valid], ndc_true[valid]
+    if fit_scale:
+        # gauge-fixed error: a GLOBAL flow scale is not photometrically
+        # identifiable (alpha * flow <-> rescaling scene depth — the zoom
+        # gauge), so mod it out with the optimal scalar before measuring,
+        # like the pose metric mods out SIM(3)
+        alpha = float((h * t).sum() / np.maximum((h * h).sum(), 1e-12))
+        h = alpha * h
+    err_ndc = np.linalg.norm(h - t, axis=-1)
     return float(np.mean(err_ndc) * 0.5 * (render_w - 1))
 
 

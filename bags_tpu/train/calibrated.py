@@ -406,31 +406,54 @@ def build_sub_cameras(cams: CameraParams) -> List[CameraParams]:
     return subs
 
 
-def measure_cubemap_warp_ky(cubemap_net, focal_x: float, focal_y: float,
-                            static: CameraStatic, scale: int) -> int:
-    """Required banded-warp window over the five cubemap face grids for
-    the CURRENT cubemap net (max over faces; singular/out-of-image grid
-    entries are excluded by required_ky's in-image mask)."""
+def _cubemap_face_kys(cubemap_net, focal_x: float, focal_y: float,
+                      static: CameraStatic, scale: int):
+    """Per-face (ky_normal, ky_transposed) banded-warp windows for the
+    CURRENT cubemap net (singular/out-of-image grid entries are excluded
+    by required_ky's in-image mask)."""
     from ..utils.image import required_ky
 
     K = np.array([[focal_x, 0, static.width / 2],
                   [0, focal_y, static.height / 2], [0, 0, 1.0]])
     rays = cubemap_lib.distorted_rays(cubemap_net, K, static.width,
                                       static.height, scale)
-    kys = []
+    out = []
     for face in cubemap_lib.FACES:
-        grid = cubemap_lib.face_grid(jnp.asarray(K, jnp.float32), rays,
-                                     face, static.height, static.width,
-                                     (static.height, static.width))
-        kys.append(required_ky(np.asarray(grid), static.height,
-                               band=WARP_BAND))
-    return snap_warp_ky(max(kys))
+        grid = np.asarray(cubemap_lib.face_grid(
+            jnp.asarray(K, jnp.float32), rays, face, static.height,
+            static.width, (static.height, static.width)))
+        ky_n = required_ky(grid, static.height, band=WARP_BAND)
+        ky_t = required_ky(grid.transpose(1, 0, 2)[..., ::-1],
+                           static.width, band=WARP_BAND)
+        out.append((ky_n, ky_t))
+    return out
+
+
+def measure_cubemap_warp_ky(cubemap_net, focal_x: float, focal_y: float,
+                            static: CameraStatic, scale: int) -> int:
+    """Required banded-warp window over the five cubemap face grids, all
+    in the normal (row-band) orientation — the sharded step's scan needs
+    one uniform orientation."""
+    kys = _cubemap_face_kys(cubemap_net, focal_x, focal_y, static, scale)
+    return snap_warp_ky(max(n for n, _ in kys))
+
+
+def measure_cubemap_warp_orient(cubemap_net, focal_x: float, focal_y: float,
+                                static: CameraStatic, scale: int):
+    """(warp_ky, per-face transposed flags): each face picks the banding
+    orientation with the smaller source window — the left/right face
+    reprojections transpose rows<->columns, so their row-band windows span
+    nearly the full image while the column-band ones are tight. warp_ky is
+    the max over the chosen orientations."""
+    kys = _cubemap_face_kys(cubemap_net, focal_x, focal_y, static, scale)
+    transposed = tuple(t < n for n, t in kys)
+    return (snap_warp_ky(max(min(n, t) for n, t in kys)), transposed)
 
 
 def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
                             cfg: TrainConfig, g_tx, txs, sh_degree: int,
                             focal_x: float, focal_y: float, spec_tx=None,
-                            warp_ky: int = 0):
+                            warp_ky: int = 0, warp_transposed=None):
     """Five-face cubemap training (train.py:231-247, 287-323)."""
     rcfg = dataclasses.replace(rcfg, sh_degree=sh_degree,
                                sort_by_distance=True)
@@ -485,7 +508,8 @@ def make_cubemap_train_step(static: CameraStatic, rcfg: RenderConfig,
 
             faces, wover = cubemap_lib.render_cubemap_faces(
                 lambda i: face_renders[i], cub_net, K, static.width,
-                static.height, scale, mask90, warp_ky=warp_ky)
+                static.height, scale, mask90, warp_ky=warp_ky,
+                transposed=warp_transposed)
             half_masks = [jnp.ones_like(circ)] + [
                 cubemap_lib.mask_half(jnp.ones_like(circ), f)
                 for f in ("up", "down", "left", "right")]
@@ -619,6 +643,7 @@ class CalibTrainer(Trainer):
             self.sub_t = jnp.stack([s.t_init for s in subs[:4]], axis=1)
 
         self.cubemap_warp_ky = 0
+        self.cubemap_warp_transposed = None
         if calib.banded_warp and self.rcfg.precision == "fast":
             # size the banded-warp window from the (initialized) lens /
             # cubemap field; the warp-ky ladder re-traces if training
@@ -628,10 +653,11 @@ class CalibTrainer(Trainer):
                                      self.setup, calib.apply2gt)
                 self.setup = dataclasses.replace(self.setup, warp_ky=ky)
             else:
-                ky = measure_cubemap_warp_ky(
+                ky, flips = measure_cubemap_warp_orient(
                     self.state.cubemap_net, *self.focal, self.static,
                     int(calib.control_point_sample_scale))
                 self.cubemap_warp_ky = ky
+                self.cubemap_warp_transposed = flips
             print(f"banded lens warp: ky={ky} (band={WARP_BAND})",
                   flush=True)
 
@@ -656,7 +682,8 @@ class CalibTrainer(Trainer):
                 self._steps[key] = make_cubemap_train_step(
                     self.static, self.rcfg, self.cfg, self.g_tx, self.txs,
                     self.active_sh_degree, *self.focal,
-                    spec_tx=self.spec_tx, warp_ky=self.cubemap_warp_ky)
+                    spec_tx=self.spec_tx, warp_ky=self.cubemap_warp_ky,
+                    warp_transposed=self.cubemap_warp_transposed)
         return self._steps[key]
 
     def _invoke_step(self, it, idx, gt):
@@ -695,10 +722,12 @@ class CalibTrainer(Trainer):
             self.setup = dataclasses.replace(self.setup, warp_ky=ky)
         else:
             old = self.cubemap_warp_ky
-            ky = max(measure_cubemap_warp_ky(
+            new_ky, flips = measure_cubemap_warp_orient(
                 self.state.cubemap_net, *self.focal, self.static,
-                int(self.cfg.calib.control_point_sample_scale)), old + 32)
+                int(self.cfg.calib.control_point_sample_scale))
+            ky = max(new_ky, old + 32)
             self.cubemap_warp_ky = ky
+            self.cubemap_warp_transposed = flips
         self._steps = {}
         print(f"[warp-ky] {overflow} window overflows: growing "
               f"warp_ky {old} -> {ky} (re-tracing)", flush=True)

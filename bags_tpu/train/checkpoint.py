@@ -38,11 +38,30 @@ def _named_leaves(tree: Any):
     return [(jax.tree_util.keystr(kp), leaf) for kp, leaf in flat]
 
 
+def _to_numpy(leaf) -> np.ndarray:
+    """Host materialization that also works for MULTI-PROCESS sharded
+    arrays: a leaf whose shards live partly on other hosts is resharded to
+    fully-replicated (a collective — every process must call save) and
+    read from the local replica. Single-process / fully-addressable leaves
+    take the plain np.asarray path."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        if not leaf.sharding.is_fully_replicated:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(leaf.sharding.mesh, PartitionSpec())
+            leaf = jax.jit(lambda x: x, out_shardings=rep)(leaf)
+        return np.asarray(leaf.addressable_shards[0].data)
+    return np.asarray(leaf)
+
+
 def save_checkpoint(path: str, state: Any) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {_PREFIX + name: np.asarray(leaf)
+    """Save the full state pytree. Under `jax.distributed` every process
+    must call this (the gather of cross-host shards is collective); only
+    process 0 writes the file."""
+    arrays = {_PREFIX + name: _to_numpy(leaf)
               for name, leaf in _named_leaves(state)}
-    np.savez(path, **arrays)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **arrays)
 
 
 def load_checkpoint(path: str, template: Any) -> Any:

@@ -174,14 +174,15 @@ def bench_cubemap(n, wh, iters, precision="fast"):
     sub_t = jnp.stack([s.t_init for s in subs[:4]], axis=1)
     # the base tan-warp dominates the cubemap grids (the residual net is
     # near-zero here), so the measured window is the realistic one
-    warp_ky = calibrated.measure_cubemap_warp_ky(
+    warp_ky, warp_t = (calibrated.measure_cubemap_warp_orient(
         calib_state.cubemap_net, wh / 2.0, wh / 2.0, static,
-        int(cfg.calib.control_point_sample_scale)) \
-        if precision == "fast" else 0
-    print(f"cubemap warp_ky={warp_ky}", file=sys.stderr)
+        int(cfg.calib.control_point_sample_scale))
+        if precision == "fast" else (0, None))
+    print(f"cubemap warp_ky={warp_ky} transposed={warp_t}", file=sys.stderr)
     step = calibrated.make_cubemap_train_step(
         static, rcfg, cfg, g_tx, txs, sh_degree=3,
-        focal_x=wh / 2.0, focal_y=wh / 2.0, warp_ky=warp_ky)
+        focal_x=wh / 2.0, focal_y=wh / 2.0, warp_ky=warp_ky,
+        warp_transposed=warp_t)
     st, out = step(calib_state, gt, jnp.asarray(0), bg, sub_q[0], sub_t[0])
     jax.block_until_ready(out[0])
     t0 = time.perf_counter()

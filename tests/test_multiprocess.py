@@ -1,11 +1,18 @@
-"""2-process jax.distributed integration test (VERDICT r3 item 6).
+"""2-process jax.distributed integration tests (VERDICT r3 item 6 +
+r4 item 6).
 
 Spawns a coordinator + worker subprocess (4 virtual CPU devices each, gloo
 CPU collectives), builds the ShardedTrainer over the 2-process 8-device
-mesh in BOTH, runs steps with the host-sharded GT feed
-(`make_array_from_callback`), and asserts loss parity against a
-single-process 8-device run of the identical workload — executing
-`init_distributed` and the host-sharded data path for real.
+mesh in BOTH, and asserts parity against single-process 8-device runs of
+the identical workload:
+
+  * basic loss parity with the host-sharded GT feed;
+  * a DENSIFICATION step executing under the 2-process mesh (alive count
+    and losses match the single-process run);
+  * checkpoint round-trips ACROSS process counts in both directions —
+    save under 2 processes (collective shard gather) / resume under 1,
+    and save under 1 / resume under 2 — executing the v2 format's
+    re-shard-on-load claim for real.
 """
 
 import os
@@ -29,8 +36,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_losses():
-    """The identical workload on this process's 8 virtual devices."""
+def _build_single(densify: bool):
+    """The worker's exact workload on this process's 8 virtual devices
+    (keep in sync with _mp_worker.build_trainer)."""
     from bags_tpu.core.camera import CameraParams, CameraStatic
     from bags_tpu.dist.mesh import make_mesh
     from bags_tpu.dist.trainer import ShardedTrainer
@@ -55,29 +63,30 @@ def _single_process_losses():
         *[CameraParams.create(np.eye(3, dtype=np.float32),
                               np.zeros(3, np.float32), 0.8, 0.8)
           for _ in range(2)])
-    cfg = TrainConfig(
-        max_instances=512 * n_devices, mesh=n_devices,
-        opt=OptimizationConfig(densify_from_iter=10 ** 9,
-                               densify_until_iter=0),
-        calib=CalibConfig(opt_cam=True))
+    if densify:
+        opt = OptimizationConfig(densify_from_iter=1,
+                                 densification_interval=2,
+                                 densify_grad_threshold=1e-8,
+                                 opacity_reset_interval=10 ** 9)
+    else:
+        opt = OptimizationConfig(densify_from_iter=10 ** 9,
+                                 densify_until_iter=0)
+    cfg = TrainConfig(max_instances=512 * n_devices, mesh=n_devices,
+                      opt=opt, calib=CalibConfig(opt_cam=True))
     cfg.model.sh_degree = 1
     rcfg = RenderConfig(sh_degree=1, backend="jnp",
                         max_instances=cfg.max_instances, max_per_tile=512)
     gt = np.full((2, 3, height, width), 0.5, np.float32)
-    trainer = ShardedTrainer(g, alive, cams, static, cfg, scene_extent=10.0,
-                             gt_images=gt, rcfg=rcfg, mesh=mesh)
-    hist = trainer.run(iterations=STEPS, log_every=1)
-    return [h[1] for h in hist]
+    return ShardedTrainer(g, alive, cams, static, cfg, scene_extent=10.0,
+                          gt_images=gt, rcfg=rcfg, mesh=mesh)
 
 
-@pytest.mark.slow
-def test_two_process_trainer_matches_single_process():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
+def _run_workers(steps, mode="basic", ckpt=""):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    args = [str(steps), mode] + ([ckpt] if ckpt else [])
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), str(port), str(STEPS)],
+        [sys.executable, WORKER, str(i), str(port)] + args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = []
@@ -91,16 +100,77 @@ def test_two_process_trainer_matches_single_process():
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    return outs
 
-    def losses_of(out):
-        line = [l for l in out.splitlines() if l.startswith("MP_LOSSES:")]
-        assert line, out[-2000:]
-        return [float(x) for x in line[0].split(":", 1)[1].split(",")]
 
-    mp0 = losses_of(outs[0])
-    mp1 = losses_of(outs[1])
+def _losses_of(out):
+    line = [l for l in out.splitlines() if l.startswith("MP_LOSSES:")]
+    assert line, out[-2000:]
+    return [float(x) for x in line[0].split(":", 1)[1].split(",")]
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    outs = _run_workers(STEPS)
+    mp0, mp1 = _losses_of(outs[0]), _losses_of(outs[1])
     np.testing.assert_allclose(mp0, mp1, rtol=1e-6)  # processes agree
 
-    ref = _single_process_losses()
+    trainer = _build_single(densify=False)
+    ref = [h[1] for h in trainer.run(iterations=STEPS, log_every=1)]
     # gloo cross-process reductions may reassociate f32 sums
     np.testing.assert_allclose(mp0, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_densify_matches_single_process():
+    """Densification mutates the sharded population under the 2-process
+    mesh (VERDICT r4 #6a) and agrees with the single-process run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    outs = _run_workers(4, mode="densify")
+    mp0 = _losses_of(outs[0])
+    alive_lines = [l for l in outs[0].splitlines()
+                   if l.startswith("MP_ALIVE:")]
+    assert alive_lines, outs[0][-2000:]
+    mp_alive = int(alive_lines[0].split(":")[1])
+
+    trainer = _build_single(densify=True)
+    ref = [h[1] for h in trainer.run(iterations=4, log_every=1)]
+    ref_alive = int(jnp.sum(trainer.state.alive))
+    assert mp_alive == ref_alive and mp_alive > 256, \
+        f"densify mismatch: {mp_alive} vs {ref_alive}"
+    np.testing.assert_allclose(mp0, ref, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip_across_process_counts(tmp_path):
+    """v2 checkpoints re-shard on load across process counts, both
+    directions (VERDICT r4 #6b)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bags_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    # 2-process save -> single-process resume
+    ck2 = str(tmp_path / "two_proc.npz")
+    outs = _run_workers(0, mode="ckpt_save", ckpt=ck2)
+    mp_losses = _losses_of(outs[0])          # 2 pre-save + 1 post-save
+    assert os.path.exists(ck2)
+    trainer = _build_single(densify=False)
+    trainer.state = load_checkpoint(ck2, trainer.state)
+    trainer._shard_state()
+    resumed = [h[1] for h in trainer.run(iterations=1, log_every=1)]
+    np.testing.assert_allclose(resumed[0], mp_losses[2],
+                               rtol=1e-4, atol=1e-6)
+
+    # single-process save -> 2-process resume
+    ck1 = str(tmp_path / "one_proc.npz")
+    trainer1 = _build_single(densify=False)
+    pre = [h[1] for h in trainer1.run(iterations=2, log_every=1)]
+    save_checkpoint(ck1, trainer1.state)
+    ref3 = [h[1] for h in trainer1.run(iterations=1, log_every=1)]
+    outs = _run_workers(0, mode="ckpt_resume", ckpt=ck1)
+    mp3 = _losses_of(outs[0])
+    np.testing.assert_allclose(mp3[0], ref3[0], rtol=1e-4, atol=1e-6)
+    assert pre[0] != pytest.approx(ref3[0])  # state actually advanced

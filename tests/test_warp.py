@@ -94,6 +94,42 @@ def test_banded_warp_out_of_range_zeros():
     assert float(out[:, 0, 0].sum()) == 0.0    # corner maps far outside
 
 
+def test_cubemap_transposed_banding():
+    """Per-face banding orientation (calibrated.measure_cubemap_warp_orient):
+    the left/right face reprojections transpose rows<->columns, so their
+    chosen orientation is transposed and the resulting window is far
+    smaller than the full-height normal one; warp_to_face's transposed
+    path is value-identical to the gather warp."""
+    import jax
+
+    from bags_tpu.calib import cubemap
+    from bags_tpu.calib.iresnet import init_iresnet_params
+    from bags_tpu.core.camera import CameraStatic
+    from bags_tpu.train.calibrated import (measure_cubemap_warp_ky,
+                                           measure_cubemap_warp_orient)
+
+    net = jax.tree_util.tree_map(
+        lambda x: x * 1e-6,
+        init_iresnet_params(hidden=16, n_blocks=2, n_layers=2, seed=3))
+    static = CameraStatic(width=96, height=96)
+    ky_normal = measure_cubemap_warp_ky(net, 48.0, 48.0, static, 8)
+    ky, flips = measure_cubemap_warp_orient(net, 48.0, 48.0, static, 8)
+    assert flips[0] is False or flips[0] == False      # forward face
+    assert flips[3] and flips[4], flips                # left/right faces
+    assert ky < ky_normal, (ky, ky_normal)
+
+    # value parity of the transposed path vs gather on the 'left' face
+    K = np.asarray([[48.0, 0, 48], [0, 48.0, 48], [0, 0, 1]], np.float32)
+    rays = cubemap.distorted_rays(net, K, 96, 96, 8)
+    img = jnp.asarray(np.random.default_rng(6).uniform(
+        0, 1, (3, 96, 96)).astype(np.float32))
+    ref, _ = cubemap.warp_to_face(K, rays, img, "left", 96, 96)
+    got, over = cubemap.warp_to_face(K, rays, img, "left", 96, 96,
+                                     warp_ky=ky, transposed=True)
+    assert int(over) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
 def test_apply_distortion_banded_parity():
     """apply_distortion_banded == apply_distortion (warp + slice-crop +
     mask) on a real control-grid flow, both directions."""

@@ -35,6 +35,17 @@ def main(argv=None):
     p.add_argument("--init_coeff", type=float, nargs=4,
                    default=[-0.04, 0.0, 0.0, 0.0])
     p.add_argument("--report_every", type=int, default=200)
+    p.add_argument("--sh_degree", type=int, default=0,
+                   help="0 keeps colors view-independent: with few views, "
+                        "view-dependent color lets the scene absorb lens "
+                        "error (overfitting) instead of correcting it")
+    p.add_argument("--spread", type=float, default=1.0)
+    p.add_argument("--true_colors", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--lens_opt_until", type=int, default=0,
+                   help="freeze the lens after this iteration (0 = never; "
+                        "the reference's --iresnet_opt_duration: lens and "
+                        "scene co-adapt, so the lens window is bounded)")
     p.add_argument("--opt_cam", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--scale_range", type=float, nargs=2,
@@ -65,7 +76,8 @@ def main(argv=None):
     from bags_tpu.utils.testing import make_toy_scene
 
     wh, focal = args.wh, args.focal_frac * args.wh
-    sc = make_toy_scene(n=args.n, width=wh, height=wh, sh_degree=1, seed=11,
+    sc = make_toy_scene(n=args.n, width=wh, height=wh,
+                        sh_degree=args.sh_degree, seed=11,
                         scale_range=tuple(args.scale_range))
     setup = calibrated.make_fisheye_setup(
         focal_x=focal, focal_y=focal, persp_wh=(wh, wh), fish_wh=(wh, wh),
@@ -76,7 +88,7 @@ def main(argv=None):
     true_flow = analytic_inverse_flow(args.true_coeff, p_view,
                                       setup.grid_hw, proj, setup.flow_hw)
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    rcfg_gt = RenderConfig(sh_degree=1, backend=backend,
+    rcfg_gt = RenderConfig(sh_degree=args.sh_degree, backend=backend,
                            max_instances=2 ** 20)
     static = setup.render_static
 
@@ -95,7 +107,7 @@ def main(argv=None):
     from bags_tpu.utils.testing import make_lookat_cameras
     cams = make_lookat_cameras(args.n_cams, setup.fovx, setup.fovy,
                                center=(0.0, 0.0, 6.0), radius=6.0,
-                               spread=0.5)
+                               spread=args.spread)
     for cam in cams:
         fish_gts.append(np.asarray(warp_j(render_j(cam))))
     clean_cams = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
@@ -108,9 +120,19 @@ def main(argv=None):
     from bags_tpu.model.gaussians import create_from_points
     pts = np.asarray(sc["xyz"]) + rng.normal(
         0, 0.02, (args.n, 3)).astype(np.float32)
-    cols = rng.uniform(0.2, 0.8, (args.n, 3)).astype(np.float32)
+    if args.true_colors:
+        # content-consistent photometric init (the reference's regime:
+        # SfM points + real image colors): the early residual is then
+        # dominated by the LENS mismatch, not by content error the
+        # geometry can imprint through the wrong lens
+        C0 = 0.28209479177387814
+        cols = np.clip(0.5 + C0 * np.asarray(sc["sh_coeffs"][:, 0, :]),
+                       0.05, 0.95).astype(np.float32)
+    else:
+        cols = rng.uniform(0.2, 0.8, (args.n, 3)).astype(np.float32)
     cap = 1 << int(np.ceil(np.log2(args.n * 2)))
-    g, alive = create_from_points(pts, cols, cap, sh_degree=1)
+    g, alive = create_from_points(pts, cols, cap,
+                                  sh_degree=args.sh_degree)
     noisy = dataclasses.replace(
         clean_cams,
         dq=jnp.asarray(rng.normal(0, args.pose_noise,
@@ -140,17 +162,22 @@ def main(argv=None):
 
     err0 = ferr(calib_state)
     err0_c = ferr(calib_state, max_ndc=0.7)
+    err0_g = flow_error_px(calib_state.lens, args.true_coeff, p_view,
+                           np.asarray(proj), static.width, fit_scale=True)
     _, perr0 = align_and_pose_error(noisy, clean_cams)
     print(f"init: flow err {err0:.3f}px, pose rot "
           f"{perr0['rotation_deg_mean']:.4f}deg", flush=True)
 
     ky = calibrated.measure_warp_ky(lens, p_view, setup, apply2gt=False)
     setup_t = dataclasses.replace(setup, warp_ky=ky)
-    rcfg = RenderConfig(sh_degree=1, backend=backend,
+    rcfg = RenderConfig(sh_degree=args.sh_degree, backend=backend,
                         max_instances=2 ** 21, precision="fast")
     step = calibrated.make_fisheye_train_step(
-        setup_t, rcfg, cfg, g_tx, txs, sh_degree=1, opt_lens=True,
-        use_vignetting=False)
+        setup_t, rcfg, cfg, g_tx, txs, sh_degree=args.sh_degree,
+        opt_lens=True, use_vignetting=False)
+    step_frozen = calibrated.make_fisheye_train_step(
+        setup_t, rcfg, cfg, g_tx, txs, sh_degree=args.sh_degree,
+        opt_lens=False, use_vignetting=False)
 
     st = calib_state
     bg = jnp.zeros(3)
@@ -159,18 +186,24 @@ def main(argv=None):
         args.iters // len(train_idx) + 1)))[:args.iters]
     trace = []
     for i, idx in enumerate(order):
-        st, (loss, _, _, wover) = step(st, jnp.asarray(fish_gts[idx]),
+        s_fn = step if (not args.lens_opt_until
+                        or i < args.lens_opt_until) else step_frozen
+        st, (loss, _, _, wover) = s_fn(st, jnp.asarray(fish_gts[idx]),
                                        p_view, jnp.asarray(int(idx)), bg)
         if (i + 1) % args.report_every == 0:
             e = ferr(st)
             ec = ferr(st, max_ndc=0.7)
+            eg = flow_error_px(st.lens, args.true_coeff, p_view,
+                               np.asarray(proj), static.width,
+                               fit_scale=True)
             _, pe = align_and_pose_error(st.base.cams, clean_cams)
             trace.append(dict(it=i + 1, loss=float(loss), flow_err_px=e,
-                              flow_err_center_px=ec,
+                              flow_err_center_px=ec, flow_err_gauge_px=eg,
                               rot_deg=pe["rotation_deg_mean"],
                               wover=int(wover)))
             print(f"it {i+1}: loss {float(loss):.4f} flow {e:.3f}px "
-                  f"(center {ec:.3f}) rot {pe['rotation_deg_mean']:.4f}deg "
+                  f"(center {ec:.3f}, gauge-fixed {eg:.3f}) "
+                  f"rot {pe['rotation_deg_mean']:.4f}deg "
                   f"wover {int(wover)}", flush=True)
     jax.block_until_ready(st.base.g.xyz)
     dt = time.perf_counter() - t0
@@ -201,6 +234,10 @@ def main(argv=None):
                flow_err_final_px=round(err1, 4),
                flow_err_center_init_px=round(err0_c, 4),
                flow_err_center_final_px=round(ferr(st, max_ndc=0.7), 4),
+               flow_err_gauge_init_px=round(err0_g, 4),
+               flow_err_gauge_final_px=round(flow_error_px(
+                   st.lens, args.true_coeff, p_view, np.asarray(proj),
+                   static.width, fit_scale=True), 4),
                pose_rot_init_deg=round(perr0["rotation_deg_mean"], 5),
                pose_rot_final_deg=round(perr1["rotation_deg_mean"], 5),
                pose_trans_final=round(perr1["translation_mean"], 6),
