@@ -90,3 +90,102 @@ def poses_to_plotly(pred: CameraParams, gt: Optional[CameraParams] = None,
     return dict(data=data,
                 layout=dict(scene=dict(aspectmode="data"),
                             title="camera poses"))
+
+
+class VisdomClient:
+    """Dependency-free visdom live-plot client.
+
+    The reference keeps a visdom server connection open during training and
+    pushes pose plots to it every 500 iters (`train.py:146-153,344-346`,
+    `util_vis.py:106-187`). visdom's wire protocol is a JSON POST to
+    `http://host:port/events` with `{data, win, eid, layout, opts}` — the
+    same plotly-dict payload `poses_to_plotly` builds — so a stdlib urllib
+    client replicates the live-server glue without the visdom package.
+    Send failures are swallowed (a dead dashboard must never kill a run).
+    """
+
+    def __init__(self, server: str = "localhost", port: int = 8600,
+                 env: str = "main", timeout: float = 1.0):
+        if not server.startswith("http"):
+            server = "http://" + server
+        self.url = f"{server}:{port}/events"
+        self.env = env
+        self.timeout = timeout
+        self.ok = True  # last-send health, for callers that want to warn
+
+    def _send(self, payload: dict) -> bool:
+        import json as _json
+        import urllib.request
+        try:
+            req = urllib.request.Request(
+                self.url, data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=self.timeout).read()
+            self.ok = True
+        except Exception:
+            self.ok = False
+        return self.ok
+
+    def plot_cameras(self, step: int, pred: CameraParams,
+                     gt: Optional[CameraParams] = None,
+                     scale: float = 0.1, win: str = "poses") -> bool:
+        """Live equivalent of `vis_cameras(opt, vis, step, poses=...)`."""
+        fig = poses_to_plotly(pred, gt, scale)
+        fig["layout"]["title"] = f"({step})"
+        return self._send(dict(
+            data=fig["data"], win=win, eid=self.env, layout=fig["layout"],
+            opts=dict(title=f"{self.env} poses ({step})")))
+
+
+def vector_field_figure(residual: np.ndarray,
+                        magnification: float = 1e5,
+                        grid: int = 10) -> np.ndarray:
+    """Quiver image of a lens-flow residual, as an (H, W, 4) uint8 array.
+
+    Mirrors `log_vector_field_to_wandb` (`util_vis.py:15-61`): the (2, H, W)
+    residual is block-averaged onto a `grid`x`grid` field, magnified, and
+    drawn as a matplotlib quiver with image-style (inverted-y) axes.
+    """
+    import matplotlib
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    res = np.asarray(residual)
+    if res.ndim == 4:          # (1, 2, H, W) — the reference's layout
+        res = res[0]
+    if res.ndim == 3 and res.shape[-1] == 2:   # (H, W, 2) flow layout
+        res = np.moveaxis(res, -1, 0)
+    U, V = res[0], res[1]
+    h, w = U.shape
+    bh, bw = h // grid, w // grid
+    U = U[:bh * grid, :bw * grid].reshape(grid, bh, grid, bw).mean((1, 3))
+    V = V[:bh * grid, :bw * grid].reshape(grid, bh, grid, bw).mean((1, 3))
+    U, V = U * magnification, V * magnification
+    X, Y = np.meshgrid(np.arange(grid), np.arange(grid))
+    fig = plt.figure(figsize=(6, 6))
+    plt.quiver(X, Y, U, V, angles="xy", scale_units="xy", scale=1,
+               color="b")
+    plt.title(f"Magnified vector field ({grid}x{grid})")
+    plt.gca().invert_yaxis()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba()).copy()
+    plt.close(fig)
+    return img
+
+
+def log_vector_field(logger, residual: np.ndarray, step: int,
+                     path: Optional[str] = None,
+                     magnification: float = 1e5) -> None:
+    """Log the lens-residual quiver: to wandb when the MetricsLogger has a
+    live wandb mirror (the reference's `wandb.log({"vector_field/fig": ...})`),
+    and/or to a PNG on disk when `path` is given."""
+    img = vector_field_figure(residual, magnification)
+    wandb = getattr(logger, "_wandb", None)
+    if wandb is not None:
+        wandb.log({"vector_field/fig": wandb.Image(
+            img, caption="Magnified vector field")}, step=step)
+    if path is not None:
+        import matplotlib
+        matplotlib.use("agg")
+        import matplotlib.pyplot as plt
+        plt.imsave(path, img)

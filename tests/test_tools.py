@@ -109,6 +109,61 @@ def test_pose_plot_and_plotly(tmp_path):
     assert len(fig["data"][0]["x"]) > 0
 
 
+def test_visdom_client_posts_pose_payload():
+    """VisdomClient speaks the visdom wire protocol: a JSON POST to
+    /events carrying {data, win, eid, layout, opts} (util_vis.py:174-187).
+    Verified against a stdlib HTTP server standing in for visdom."""
+    import http.server
+    import json as _json
+    import threading
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append((self.path,
+                             _json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cams = _dummy_cams()
+        client = vis.VisdomClient("127.0.0.1", srv.server_address[1])
+        assert client.plot_cameras(500, cams, cams)
+        path, payload = received[0]
+        assert path == "/events"
+        assert payload["win"] == "poses" and payload["eid"] == "main"
+        assert len(payload["data"]) == 2          # optimized + GT traces
+        assert payload["data"][0]["type"] == "scatter3d"
+        assert "(500)" in payload["layout"]["title"]
+        # a dead server degrades to ok=False, never raises
+        dead = vis.VisdomClient("127.0.0.1", 1, timeout=0.2)
+        assert not dead.plot_cameras(0, cams)
+    finally:
+        srv.shutdown()
+
+
+def test_vector_field_figure_layouts():
+    """The lens-residual quiver (util_vis.py:15-61) accepts the reference's
+    (1,2,H,W) layout and the flow-field (H,W,2) layout and renders an RGBA
+    image."""
+    rng = np.random.default_rng(0)
+    res = rng.normal(0, 1e-5, (1, 2, 100, 100)).astype(np.float32)
+    img = vis.vector_field_figure(res)
+    assert img.ndim == 3 and img.shape[-1] == 4 and img.dtype == np.uint8
+    img2 = vis.vector_field_figure(
+        np.moveaxis(res[0], 0, -1), magnification=1e4)
+    assert img2.shape == img.shape
+
+
 def test_import_reference_checkpoint(tmp_path):
     """tools/import_reference_checkpoint.py parses a reference-layout
     chkpnt.pth (torch-written, the real serialization) without torch at

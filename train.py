@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_project_name", default=None)
     p.add_argument("--wandb_group_name", default=None)
     p.add_argument("--wandb_mode", default="online")
+    # live pose plots to a visdom server (reference --vis_pose +
+    # visdom.server/port, train.py:146-153,344-346); pose PNGs are always
+    # saved at eval iterations regardless
+    p.add_argument("--vis_pose", action="store_true")
+    p.add_argument("--visdom_server", default="localhost")
+    p.add_argument("--visdom_port", type=int, default=8600)
     from bags_tpu.utils.platform import add_platform_arg
     add_platform_arg(p)
     return p
@@ -497,10 +503,24 @@ def main(argv=None):
                   f"re-run with --max_instances {2 * cfg.max_instances} "
                   f"(current {cfg.max_instances}).", flush=True)
 
+    vis_client = None
+    if args.vis_pose:
+        from bags_tpu.eval.vis import VisdomClient
+        vis_client = VisdomClient(args.visdom_server, args.visdom_port)
+
     def callback(it, state, metrics):
         if gui is not None:
             gui.poll(gui_render, args.source_path,
                      training_done=(it >= args.iterations))
+        if vis_client is not None and it % 500 == 0:
+            # live pose frusta to the visdom server, every 500 iters
+            # (reference train.py:344-346)
+            base = getattr(state, "base", state)
+            if not vis_client.plot_cameras(it, base.cams,
+                                           scene.train_cams_clean):
+                if it == 500:
+                    print(f"visdom server {vis_client.url} unreachable; "
+                          "live pose plots disabled for this run")
         if it % 10 == 0:
             # n_dropped is a host sync (29 ms over the axon tunnel); check it
             # only at the logging cadence. Trainer.run additionally
