@@ -54,11 +54,14 @@ def main():
                         "chosen threshold per densify round")
     p.add_argument("--min_opacity", type=float, default=5e-4)
     p.add_argument("--quality", action="store_true",
-                   help="reference thresholds + held-out PSNR; no early "
-                        "stop at the alive target (VERDICT r4 #4)")
-    p.add_argument("--holdout", type=int, default=4,
-                   help="--quality: every k-th camera is test-only "
-                        "(the reference's llffhold pattern)")
+                   help="REFERENCE densify thresholds + held-out PSNR; no "
+                        "early stop at the alive target (VERDICT r4 #4)")
+    p.add_argument("--holdout", type=int, default=0,
+                   help="every k-th camera is test-only (the reference's "
+                        "llffhold pattern) + final train/test PSNR + no "
+                        "early stop; composes with the auto-threshold "
+                        "mode (quality evidence in the >=1M regime) and "
+                        "is implied (default 4) by --quality")
     args = p.parse_args()
 
     import jax
@@ -109,9 +112,11 @@ def main():
     gt_all = np.stack(gt_imgs)
     print(f"GT rendered: {gt_all.shape}", flush=True)
 
-    # --quality: hold out every k-th camera (reference llffhold pattern,
+    # Hold out every k-th camera (reference llffhold pattern,
     # dataset_readers.py:273-275); the trainer only ever sees train views.
-    if args.quality:
+    if args.quality and not args.holdout:
+        args.holdout = 4
+    if args.holdout:
         test_idx = list(range(0, args.n_cams, args.holdout))
         train_idx = [i for i in range(args.n_cams) if i not in test_idx]
     else:
@@ -215,7 +220,8 @@ def main():
             if target_hit_iter is not None and it >= target_hit_iter + 100:
                 # timed window at >= target alive
                 step_times.append((t - cb.t0) / 50)
-                if len(step_times) >= 4 and not args.quality:
+                if len(step_times) >= 4 and not args.quality \
+                        and not args.holdout:
                     raise KeyboardInterrupt  # graceful stop
             cb.t0 = t
     cb.t0 = t_iter
@@ -229,20 +235,23 @@ def main():
     med_step = float(np.median(step_times)) if step_times else float("nan")
 
     psnrs = {}
-    if args.quality:
+    if args.holdout:
         # Held-out PSNR through the FINAL model (clamped renders, the
         # reference's in-loop eval protocol, train.py:644-654).
         from bags_tpu.eval.metrics import psnr as psnr_fn
         stf = trainer.state
         eval_cfg = _dc.replace(trainer.rcfg, backend=backend)
-        ev_render = jax.jit(lambda c: render(
-            stf.g.xyz, stf.g.scaling(), stf.g.quats,
-            stf.g.opacity(stf.alive), stf.g.sh_coeffs(), c, static,
-            eval_cfg).render)
+        # model arrays as jit ARGS, never closed-over constants: a 2^21-
+        # capacity model baked into the HLO overflows the remote compile
+        # service's request limit on the tunneled chip
+        ev_render = jax.jit(lambda xyz, sc_, q, o, shc, c: render(
+            xyz, sc_, q, o, shc, c, static, eval_cfg).render)
+        g_args = (stf.g.xyz, stf.g.scaling(), stf.g.quats,
+                  stf.g.opacity(stf.alive), stf.g.sh_coeffs())
         for split, idxs in (("train", train_idx), ("test", test_idx)):
             vals = []
             for i in idxs:
-                img = jnp.clip(ev_render(cams[i]), 0.0, 1.0)
+                img = jnp.clip(ev_render(*g_args, cams[i]), 0.0, 1.0)
                 vals.append(float(psnr_fn(img, jnp.asarray(gt_all[i]))))
             psnrs[split] = round(float(np.mean(vals)), 3)
         print(f"PSNR train {psnrs['train']:.2f} test {psnrs['test']:.2f}",
