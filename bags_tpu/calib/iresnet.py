@@ -28,7 +28,7 @@ N_BLOCKS = 5
 HIDDEN = 512
 N_LAYERS = 4          # hidden layers per block (internal_size x 4)
 LIPSCHITZ = 0.9
-INVERSE_ITERS = 30
+NEWTON_ITERS = 12
 POWER_ITERS = 5
 
 
@@ -92,36 +92,78 @@ def _spectral_normalize(w: jnp.ndarray, u: jnp.ndarray,
     return w * scale
 
 
-def _block_residual(params: IResNetParams, b: int, x: jnp.ndarray
-                    ) -> jnp.ndarray:
-    """g_b(x): Lipschitz-bounded MLP residual. x: (..., 2)."""
+def _norm_weights(params: IResNetParams, b: int):
+    """Spectrally-normalized weights of block b, computed ONCE.
+
+    Callers that evaluate the residual many times at different points
+    (the Newton inverse: ~36 evals/block) must hoist this out of the
+    evaluation loop — inlining a 5-power-iteration normalization chain
+    into every eval produced a graph the TPU fusion cost model crashed
+    on (SIGILL in TpuPriorityFusionQueue::NormalizedComputationCost),
+    besides being redundant compute."""
     n = len(params.weights[b])
     per_layer = LIPSCHITZ ** (1.0 / n)
+    return [_spectral_normalize(params.weights[b][i], params.u_vecs[b][i],
+                                per_layer) for i in range(n)]
+
+
+def _residual_from_ws(ws, biases, x: jnp.ndarray) -> jnp.ndarray:
+    """g_b(x) from pre-normalized weights. x: (..., 2)."""
     h = x
+    n = len(ws)
     for i in range(n):
-        w = _spectral_normalize(params.weights[b][i], params.u_vecs[b][i],
-                                per_layer)
-        h = h @ w + params.biases[b][i]
+        h = h @ ws[i] + biases[i]
         if i < n - 1:
             h = jax.nn.elu(h)
     return h
 
 
-def _block_jac2x2(params: IResNetParams, b: int, x: jnp.ndarray
-                  ) -> jnp.ndarray:
-    """Per-point 2x2 Jacobian of g_b via two JVPs. x: (n, 2) -> (n, 2, 2)
-    with J[n, i, j] = d g_i / d x_j."""
-    g = lambda xx: _block_residual(params, b, xx)
-    e0 = jnp.broadcast_to(jnp.array([1.0, 0.0], x.dtype), x.shape)
-    e1 = jnp.broadcast_to(jnp.array([0.0, 1.0], x.dtype), x.shape)
-    _, c0 = jax.jvp(g, (x,), (e0,))   # J @ e0 = column 0
-    _, c1 = jax.jvp(g, (x,), (e1,))   # J @ e1 = column 1
-    return jnp.stack([c0, c1], axis=-1)
+def _block_residual(params: IResNetParams, b: int, x: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """g_b(x): Lipschitz-bounded MLP residual. x: (..., 2)."""
+    return _residual_from_ws(_norm_weights(params, b), params.biases[b], x)
+
+
+def _residual_and_jac2x2(ws, biases, x: jnp.ndarray):
+    """g(x) AND its per-point 2x2 Jacobian in ONE sweep, by hand-rolled
+    tangent propagation: t <- (t @ W) * elu'(z) per layer, with
+    elu'(z) = exp(min(z, 0)) (exact, no select). Hand-rolled because
+    `jax.jvp` through this MLP emits a tangent graph the v5e fusion cost
+    model crashes on (SIGILL in TpuPriorityFusionQueue) — a single jitted
+    jvp of `_residual_from_ws` reproduces it. Returns
+    (g, j00, j01, j10, j11), j_ij = d g_i / d x_j, each (n,)."""
+    n = len(ws)
+    h = x
+    t0 = t1 = None
+    for i in range(n):
+        z = h @ ws[i] + biases[i]
+        if i == 0:
+            # first tangent layer analytically: e_k @ W is just row k of
+            # W — a matmul with a broadcast-constant operand is exactly
+            # the degenerate node the fusion cost model chokes on
+            t0 = jnp.broadcast_to(ws[i][0], z.shape)
+            t1 = jnp.broadcast_to(ws[i][1], z.shape)
+        else:
+            t0 = t0 @ ws[i]
+            t1 = t1 @ ws[i]
+        if i < n - 1:
+            dz = jnp.exp(jnp.minimum(z, 0.0))    # elu'
+            h = jax.nn.elu(z)
+            t0 = t0 * dz
+            t1 = t1 * dz
+        else:
+            h = z
+    return h, t0[..., 0], t1[..., 0], t0[..., 1], t1[..., 1]
+
+
+def _block_jac2x2(params: IResNetParams, b: int, x: jnp.ndarray):
+    out = _residual_and_jac2x2(_norm_weights(params, b), params.biases[b], x)
+    return out[1:]
 
 
 def _solve_fixed_point(params: IResNetParams, b: int, y: jnp.ndarray,
-                       tol: float = None) -> jnp.ndarray:
-    """x* with x* + g_b(x*) = y, by per-point 2x2 NEWTON iteration.
+                       iters: int = None) -> jnp.ndarray:
+    """x* with x* + g_b(x*) = y, by UNROLLED per-point 2x2 Newton.
 
     Plain Picard iteration x <- y - g(x) contracts at rate LIPSCHITZ=0.9:
     when the forward map is strongly compressive (a pre-fit lens maps
@@ -129,49 +171,29 @@ def _solve_fixed_point(params: IResNetParams, b: int, y: jnp.ndarray,
     sits ~50 units from the y-seed and 0.9^30 leaves an O(1) residual —
     a NON-converged inverse whose implicit-diff gradient (valid only AT
     the fixed point) is garbage and can blow up lens training. Newton with
-    the exact 2x2 Jacobian (two JVPs/iter) converges quadratically from
-    the same seed; I + J_g is uniformly invertible (eigenvalues in
-    [1-L, 1+L], L<1), so the step is always well-defined."""
-    if tol is None:
-        # near machine precision: the implicit-diff backward is exact only
-        # AT the fixed point, and downstream finite-difference checks see
-        # the solver's output jitter amplified by 1/eps
-        tol = 1e-6 if y.dtype == jnp.float32 else 1e-12
-    scale = jnp.maximum(1.0, jnp.max(jnp.abs(y)))
+    the exact 2x2 Jacobian (two JVPs/iter) converges from the same seed in
+    <= 8 iterations on that case; I + J_g is uniformly invertible
+    (singular values in [1-L, 1+L], L<1), so the step is well-defined and
+    intrinsically trust-bounded (|s| <= |F|/(1-L)).
 
-    def fres(x):
-        return x + _block_residual(params, b, x) - y    # residual of F
-
-    def cond(c):
-        i, _, err = c
-        return jnp.logical_and(i < INVERSE_ITERS, err > tol * scale)
-
-    def body(c):
-        i, x, _ = c
-        f = fres(x)
-        jac = _block_jac2x2(params, b, x)
-        a = jac[..., 0, 0] + 1.0
-        bb = jac[..., 0, 1]
-        cc = jac[..., 1, 0]
-        d = jac[..., 1, 1] + 1.0
-        det = a * d - bb * cc                           # >= (1-L)^2 > 0
-        sx = (d * f[..., 0] - bb * f[..., 1]) / det
-        sy = (a * f[..., 1] - cc * f[..., 0]) / det
-        s = jnp.stack([sx, sy], axis=-1)
-        # damped line search: elu's curvature kinks can make the full
-        # step overshoot; per point, keep the alpha with the smallest
-        # new |F| (alpha=1 gives the quadratic rate wherever it works)
-        fn = jnp.sum(f ** 2, -1, keepdims=True)
-        best_x, best_f = x, fn
-        for alpha in (1.0, 0.5, 0.25):
-            xc = x - alpha * s
-            fc = jnp.sum(fres(xc) ** 2, -1, keepdims=True)
-            take = fc < best_f
-            best_x = jnp.where(take, xc, best_x)
-            best_f = jnp.where(take, fc, best_f)
-        return i + 1, best_x, jnp.max(jnp.abs(best_x - x))
-
-    _, x, _ = jax.lax.while_loop(cond, body, (0, y, jnp.inf))
+    The loop is UNROLLED (no while_loop / early exit): a fixed-trip flat
+    graph costs the same as the old 30-eval Picard loop and sidesteps a
+    libtpu fusion-pass crash (SIGILL in TpuPriorityFusionQueue) that the
+    Newton body inside lax.while_loop triggered on v5e."""
+    if iters is None:
+        iters = NEWTON_ITERS if y.dtype == jnp.float32 else NEWTON_ITERS + 4
+    ws = _norm_weights(params, b)       # hoisted: once per solve
+    bs = params.biases[b]
+    x = y
+    for _ in range(iters):
+        g, j00, j01, j10, j11 = _residual_and_jac2x2(ws, bs, x)
+        f = x + g - y                                   # residual of F
+        a = j00 + 1.0
+        d = j11 + 1.0
+        det = a * d - j01 * j10                         # >= (1-L)^2 > 0
+        sx = (d * f[..., 0] - j01 * f[..., 1]) / det
+        sy = (a * f[..., 1] - j10 * f[..., 0]) / det
+        x = x - jnp.stack([sx, sy], axis=-1)
     return x
 
 
@@ -189,15 +211,13 @@ def _block_inverse_bwd(b, res, v):
     dominated the whole fisheye step)."""
     params, x = res
     _, vjp_fn = jax.vjp(lambda p, xx: _block_residual(p, b, xx), params, x)
-    jac = _block_jac2x2(params, b, x)
-    # solve (I + J)^T u = v per point
-    a = jac[..., 0, 0] + 1.0
-    bb = jac[..., 1, 0]     # (I+J)^T[0,1] = (I+J)[1,0]
-    cc = jac[..., 0, 1]
-    d = jac[..., 1, 1] + 1.0
-    det = a * d - bb * cc
-    u = jnp.stack([(d * v[..., 0] - bb * v[..., 1]) / det,
-                   (a * v[..., 1] - cc * v[..., 0]) / det], axis=-1)
+    j00, j01, j10, j11 = _block_jac2x2(params, b, x)
+    # solve (I + J)^T u = v per point: matrix [[1+j00, j10], [j01, 1+j11]]
+    a = j00 + 1.0
+    d = j11 + 1.0
+    det = a * d - j01 * j10
+    u = jnp.stack([(d * v[..., 0] - j10 * v[..., 1]) / det,
+                   (a * v[..., 1] - j01 * v[..., 0]) / det], axis=-1)
     p_cot = jax.tree_util.tree_map(lambda t: -t, vjp_fn(u)[0])
     return p_cot, u
 
